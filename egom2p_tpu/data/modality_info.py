@@ -1,0 +1,103 @@
+"""Modality registry.
+
+Equivalent of the reference MODALITY_INFO dict
+(reference: egom2p/data/modality_info.py:35-441).  The four active modalities
+of the released EgoM2P models are tok_rgb / tok_depth / tok_cam / tok_gaze;
+caption/det-style sequence modalities are kept for the masking machinery and
+future finetunes.  IDs use the same sha256-uint15 hash as the reference
+(egom2p/utils/misc.py:40-42) so mod-mask ids and checkpoints interoperate.
+
+Instead of torch nn.Module factory partials, each entry carries a plain
+`embed_spec` dict consumed by egom2p_tpu/models/embeddings.py.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Dict
+
+
+def generate_uint15_hash(seed_str: str) -> int:
+    return int(hashlib.sha256(seed_str.encode("utf-8")).hexdigest(), 16) % (2**15)
+
+
+def _video_tok(name: str, path: str) -> Dict[str, Any]:
+    return {
+        "input_size": 256,
+        "patch_size": 8,
+        "vocab_size": 64000,
+        "min_tokens": 0,
+        "max_tokens": 5120,  # 5 x 32 x 32 token grid
+        "type": "img",
+        "id": generate_uint15_hash(name),
+        "pretokenized": True,
+        "path": path,
+        "embed_spec": {"kind": "video_token", "vocab_size": 64000, "grid": (5, 32, 32)},
+    }
+
+
+def _seq30_tok(name: str, path: str, mod_type: str) -> Dict[str, Any]:
+    return {
+        "vocab_size": 256,
+        "min_tokens": 0,
+        "max_tokens": 30,
+        "type": mod_type,
+        "id": generate_uint15_hash(name),
+        "pretokenized": True,
+        "path": path,
+        "embed_spec": {"kind": "gazecam_token", "vocab_size": 256, "length": 30},
+    }
+
+
+def _text_seq(name: str) -> Dict[str, Any]:
+    return {
+        "vocab_size": 30_000,
+        "min_tokens": 0,
+        "max_tokens": 256,
+        "type": "seq",
+        "id": generate_uint15_hash(name),
+        "embed_spec": {
+            "kind": "sequence",
+            "vocab_size": 30_000,
+            "max_length": 256,
+            "padding_idx": 0,
+        },
+    }
+
+
+def _image_tok(name: str, vocab_size: int, input_size: int = 224, patch_size: int = 16) -> Dict[str, Any]:
+    n = (input_size // patch_size) ** 2
+    return {
+        "input_size": input_size,
+        "patch_size": patch_size,
+        "vocab_size": vocab_size,
+        "min_tokens": 0,
+        "max_tokens": n,
+        "type": "img",
+        "id": generate_uint15_hash(name),
+        "pretokenized": True,
+        "embed_spec": {
+            "kind": "image_token",
+            "vocab_size": vocab_size,
+            "grid": (input_size // patch_size, input_size // patch_size),
+        },
+    }
+
+
+MODALITY_INFO: Dict[str, Dict[str, Any]] = {
+    # --- active four (reference: modality_info.py:59-141) ---
+    "tok_rgb": _video_tok("tok_rgb", "rgb"),
+    "tok_depth": _video_tok("tok_depth", "depth"),
+    "tok_cam": _seq30_tok("tok_cam", "cam", "cam"),
+    "tok_gaze": _seq30_tok("tok_gaze", "gaze", "gaze"),
+    # --- raw (tokenizer-training) modalities ---
+    "rgb": {"type": "img", "num_channels": 3, "id": generate_uint15_hash("rgb"), "path": "rgb"},
+    "depth": {"type": "img", "num_channels": 1, "id": generate_uint15_hash("depth")},
+    "cam": {"type": "cam", "num_channels": 9, "id": generate_uint15_hash("cam")},
+    "gaze": {"type": "gaze", "num_channels": 2, "id": generate_uint15_hash("gaze")},
+    # --- sequence modalities (span masking machinery; finetunes) ---
+    "caption": _text_seq("caption"),
+    "det": _text_seq("det"),
+    # --- legacy 4M image-token modalities (checkpoint compatibility) ---
+    "tok_rgb@224": _image_tok("tok_rgb@224", 16384),
+    "tok_depth@224": _image_tok("tok_depth@224", 8192),
+}

@@ -1,0 +1,1 @@
+from .egom2p import EgoM2P, create_model, MODEL_REGISTRY

@@ -1,0 +1,206 @@
+"""Transformer primitives for the EgoM2P encoder-decoder.
+
+Functionally equivalent to the reference blocks
+(reference: egom2p/models/egom2p_utils.py:118-412) but written as flax.linen
+modules with a bf16-compute / fp32-param precision policy and mask semantics
+shared with egom2p_tpu.ops.attention (True = blocked).
+
+Parameter names deliberately mirror the reference state_dict keys
+(qkv / proj / fc1 / fc2 / fc3 / norm1 / ...) so the torch->jax checkpoint
+converter (egom2p_tpu/compat/torch_convert.py) is a mechanical key mapping.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from egom2p_tpu.ops.attention import masked_attention
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with optional bias (reference: egom2p_utils.py:118-133)."""
+    eps: float = 1e-6
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,)) if self.use_bias else None
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = jnp.square(xf - mean).mean(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * w
+        if b is not None:
+            y = y + b
+        return y.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    act: Callable = nn.gelu
+    use_bias: bool = True
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(out_dim, use_bias=self.use_bias, name="fc2")(x)
+        return x
+
+
+class GatedMlp(nn.Module):
+    """SwiGLU-style gated feed-forward.  Hidden dim is scaled by 2/3 to keep
+    FLOPs comparable (reference: egom2p_utils.py:154-169)."""
+    hidden_dim: int
+    act: Callable = nn.silu
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        hidden = int(2 * self.hidden_dim / 3)
+        gate = nn.Dense(hidden, use_bias=self.use_bias, name="fc1")(x)
+        val = nn.Dense(hidden, use_bias=self.use_bias, name="fc3")(x)
+        return nn.Dense(dim, use_bias=self.use_bias, name="fc2")(self.act(gate) * val)
+
+
+def _split_heads(x, num_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = False
+    norm_bias: bool = True
+    softmax1: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        dim = x.shape[-1]
+        qkv = nn.Dense(dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.qk_norm:
+            q = LayerNorm(use_bias=self.norm_bias, name="q_norm")(q)
+            k = LayerNorm(use_bias=self.norm_bias, name="k_norm")(k)
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None]  # add head dim
+        out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
+        return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(_merge_heads(out))
+
+
+class CrossAttention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = False
+    norm_bias: bool = True
+    softmax1: bool = False
+
+    @nn.compact
+    def __call__(self, x, context, mask=None):
+        dim = x.shape[-1]
+        q = nn.Dense(dim, use_bias=self.qkv_bias, name="q")(x)
+        kv = nn.Dense(dim * 2, use_bias=self.qkv_bias, name="kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.qk_norm:
+            q = LayerNorm(use_bias=self.norm_bias, name="q_norm")(q)
+            k = LayerNorm(use_bias=self.norm_bias, name="k_norm")(k)
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None]
+        out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
+        return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(_merge_heads(out))
+
+
+def _drop_path(x, rate: float, deterministic: bool, rng):
+    """Stochastic depth per sample (reference: egom2p_utils.py:89-100)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x / keep * mask
+
+
+class Block(nn.Module):
+    """Pre-norm self-attention block (reference: egom2p_utils.py:335-359)."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    mlp_bias: bool = True
+    norm_bias: bool = True
+    gated_mlp: bool = False
+    qk_norm: bool = False
+    act: Callable = nn.gelu
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        dim = x.shape[-1]
+        attn = Attention(self.num_heads, self.qkv_bias, self.proj_bias,
+                         self.qk_norm, self.norm_bias, name="attn")
+        h = attn(LayerNorm(use_bias=self.norm_bias, name="norm1")(x), mask)
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
+        x = x + h
+        mlp_cls = GatedMlp if self.gated_mlp else Mlp
+        h = mlp_cls(int(dim * self.mlp_ratio), act=self.act, use_bias=self.mlp_bias,
+                    name="mlp")(LayerNorm(use_bias=self.norm_bias, name="norm2")(x))
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
+        return x + h
+
+
+class DecoderBlock(nn.Module):
+    """Self-attn + cross-attn + MLP (reference: egom2p_utils.py:362-391)."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    mlp_bias: bool = True
+    norm_bias: bool = True
+    gated_mlp: bool = False
+    qk_norm: bool = False
+    act: Callable = nn.gelu
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context, sa_mask=None, xa_mask=None, deterministic: bool = True):
+        dim = x.shape[-1]
+        h = Attention(self.num_heads, self.qkv_bias, self.proj_bias,
+                      self.qk_norm, self.norm_bias, name="self_attn")(
+            LayerNorm(use_bias=self.norm_bias, name="norm1")(x), sa_mask)
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
+        x = x + h
+        h = CrossAttention(self.num_heads, self.qkv_bias, self.proj_bias,
+                           self.qk_norm, self.norm_bias, name="cross_attn")(
+            LayerNorm(use_bias=self.norm_bias, name="query_norm")(x),
+            LayerNorm(use_bias=self.norm_bias, name="context_norm")(context),
+            xa_mask)
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
+        x = x + h
+        mlp_cls = GatedMlp if self.gated_mlp else Mlp
+        h = mlp_cls(int(dim * self.mlp_ratio), act=self.act, use_bias=self.mlp_bias,
+                    name="mlp")(LayerNorm(use_bias=self.norm_bias, name="norm2")(x))
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
+        return x + h

@@ -1,0 +1,47 @@
+"""Masked dense attention for TPU.
+
+The reference materializes O(N^2) attention with additive boolean masks
+(reference: egom2p/models/egom2p_utils.py:185-205).  Sequence lengths here are
+fixed and small (<= 4096), so the TPU-optimal form is a dense einsum that maps
+straight onto the MXU in bf16 with an fp32 softmax.  The mask convention
+matches the reference: ``True`` means *blocked*.
+
+`masked_attention` is the single entry point used by both self- and
+cross-attention; a fused Pallas flash kernel can be swapped in behind the same
+signature (see egom2p_tpu/ops/flash_attention.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large negative instead of finfo.min: safe under bf16->fp32 casts
+
+
+def masked_attention(
+    q: jnp.ndarray,  # (B, H, N, hd)
+    k: jnp.ndarray,  # (B, H, M, hd)
+    v: jnp.ndarray,  # (B, H, M, hd)
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, N, M); True = blocked
+    *,
+    softmax1: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, H, N, hd)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, _NEG_INF, logits)
+    if softmax1:
+        # off-by-one softmax: allows attending to "nothing"
+        # (reference: egom2p_utils.py:28-30)
+        m = jnp.maximum(jax.lax.stop_gradient(logits.max(axis=-1, keepdims=True)), 0.0)
+        unnorm = jnp.exp(logits - m)
+        denom = unnorm.sum(axis=-1, keepdims=True) + jnp.exp(-m)
+        weights = unnorm / denom
+    else:
+        weights = jax.nn.softmax(logits, axis=-1)
+    weights = weights.astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", weights, v)

@@ -1,0 +1,16 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip sharding
+logic is exercised without TPU hardware (JAX's "fake cluster"; see SURVEY.md §4).
+
+Note: this environment's sitecustomize force-registers a remote-TPU PJRT
+backend and overrides jax_platforms at interpreter start, so we must override
+the *config* after importing jax — env vars alone are not enough.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
