@@ -1,0 +1,85 @@
+"""VQ-VAE tokenizer training step (cam / gaze / video domains).
+
+Functional TPU version of the reference tokenizer train loop
+(reference: run_training_vqvae.py:1076-1419):
+
+  * fp32 params, bf16-free (the released tokenizer configs train fp32,
+    reference: cfgs/.../Transformer_cam_traj...yaml `dtype: fp32`),
+  * reconstruction losses: mse / mse_mask (mask-weighted for gaze)
+    (reference: run_training_vqvae.py:1011-1074),
+  * codebook loss from the functional EMA quantizer with psum sync across the
+    data mesh axis (reference sync_codebook=True, quantize_lucid.py:91-135),
+  * per-step cosine LR schedule handled by optax outside this module.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from egom2p_tpu.ops.vq import VQConfig, VQState, vq_forward
+from egom2p_tpu.tokenizers.seq_vqvae import SeqAutoencoder
+
+
+class VQVAETrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    vq_state: VQState
+    step: jnp.ndarray
+
+
+def reconst_loss(pred, target, loss_fn: str, n_channels: int):
+    """(reference: run_training_vqvae.py:1011-1074)."""
+    if loss_fn == "mse":
+        return jnp.mean((pred - target) ** 2)
+    if loss_fn == "mse_mask":
+        # gaze: last channel of the target is the validity mask
+        data, mask = target[..., :n_channels], target[..., n_channels:]
+        se = (pred - data) ** 2 * mask
+        return jnp.sum(se) / jnp.maximum(jnp.sum(mask) * n_channels, 1.0)
+    raise ValueError(f"unknown loss_fn {loss_fn}")
+
+
+def make_vqvae_train_step(module: SeqAutoencoder, vq_cfg: VQConfig,
+                          optimizer: optax.GradientTransformation,
+                          loss_fn: str = "mse",
+                          codebook_weight: float = 1.0,
+                          axis_name: Optional[str] = None):
+    """Build the jittable train step.  If `axis_name` is set the caller is
+    expected to run it under shard_map/pmap with that mesh axis; codebook
+    statistics are then psum-synced like the reference's distributed EMA."""
+    n_channels = module.n_channels
+
+    def train_step(state: VQVAETrainState, batch: jnp.ndarray, rng: jax.Array):
+        def loss_and_aux(params):
+            lat = module.apply(params, batch, method=SeqAutoencoder.encode_latents)
+            quant, commit, tokens, new_vq = vq_forward(
+                vq_cfg, state.vq_state, lat, training=True, rng=rng,
+                axis_name=axis_name)
+            pred = module.apply(params, quant, method=SeqAutoencoder.decode_latents)
+            rec = reconst_loss(pred, batch, loss_fn, n_channels)
+            loss = rec + codebook_weight * commit
+            return loss, (rec, commit, tokens, new_vq)
+
+        (loss, (rec, commit, tokens, new_vq)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = VQVAETrainState(params=new_params, opt_state=new_opt,
+                                    vq_state=new_vq, step=state.step + 1)
+        # codebook usage % over this batch (reference: vq_utils.py:18-46)
+        usage = jnp.bincount(tokens.reshape(-1), length=vq_cfg.codebook_size) > 0
+        metrics = {"loss": loss, "reconst_loss": rec, "code_loss": commit,
+                   "codebook_usage": jnp.mean(usage.astype(jnp.float32))}
+        return new_state, metrics
+
+    return train_step
+
+
+def init_train_state(params, optimizer, vq_state) -> VQVAETrainState:
+    return VQVAETrainState(params=params, opt_state=optimizer.init(params),
+                           vq_state=vq_state, step=jnp.zeros((), jnp.int32))
