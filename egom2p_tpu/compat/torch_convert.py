@@ -1,0 +1,314 @@
+"""Torch -> JAX checkpoint converters.
+
+Maps the reference PyTorch state dicts onto this framework's flax param trees
+so released checkpoints interoperate (north star in BASELINE.json):
+
+  * EgoM2P main model (reference: egom2p/models/egom2p_model.py state_dict,
+    saved by egom2p/utils/checkpoint.py:91-120 as {'model': sd, 'args': ...}),
+  * cam/gaze VQ-VAE tokenizers (reference: egom2p/vq/vqvae.py),
+  * Cosmos DV video tokenizer (TorchScript encoder.jit/decoder.jit state
+    dicts, reference: cosmos_tokenizer/utils.py:96-126).
+
+The conversion walks the *flax* tree and derives each torch key, so a missing
+mapping fails loudly instead of silently keeping random weights.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------- primitives
+def _t(x) -> np.ndarray:
+    """torch tensor -> numpy (fp32)."""
+    arr = x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+    return np.ascontiguousarray(arr)
+
+
+def _dense(sd, key):
+    return _t(sd[key]).T  # torch Linear (out,in) -> flax (in,out)
+
+
+def _conv3d(sd, key):
+    return _t(sd[key]).transpose(2, 3, 4, 1, 0)  # OIdhw -> dhwIO
+
+
+def _conv1d(sd, key):
+    return _t(sd[key]).transpose(2, 1, 0)  # OIk -> kIO
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat):
+    tree: Dict = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def _check(name, expected_shape, got: np.ndarray):
+    if tuple(expected_shape) != tuple(got.shape):
+        raise ValueError(f"{name}: shape mismatch, flax {tuple(expected_shape)} "
+                         f"vs converted torch {tuple(got.shape)}")
+    return got
+
+
+# ----------------------------------------------------------------- EgoM2P
+def convert_egom2p_state_dict(sd: Dict, flax_params: Dict,
+                              in_domains, out_domains) -> Dict:
+    """Reference EgoM2P state_dict -> flax params with the same tree."""
+    enc_set = set(in_domains)
+    flat = _flatten(flax_params["params"])
+    out = {}
+    for path, leaf in flat.items():
+        name = "/".join(path)
+        p0 = path[0]
+
+        def dense_or_bias(tkey_base):
+            if path[-1] == "kernel":
+                return _dense(sd, tkey_base + ".weight")
+            return _t(sd[tkey_base + ".bias"])
+
+        if p0.startswith("mod_emb_"):
+            mod = p0[len("mod_emb_"):]
+            tkey = (f"encoder_embeddings.{mod}.mod_emb" if mod in enc_set
+                    else f"decoder_embeddings.{mod}.mod_emb")
+            val = _t(sd[tkey])
+        elif p0.startswith("dec_mod_emb_"):
+            mod = p0[len("dec_mod_emb_"):]
+            val = _t(sd[f"decoder_embeddings.{mod}.mod_emb"])
+        elif p0 == "mask_token":
+            val = _t(sd["mask_token"])
+        elif p0 == "register_tokens":
+            val = _t(sd["register_tokens"])
+        elif p0.startswith("encoder_embeddings_"):
+            mod = p0[len("encoder_embeddings_"):]
+            assert path[1] == "token_emb"
+            val = _t(sd[f"encoder_embeddings.{mod}.token_emb.weight"])
+        elif p0.startswith("decoder_embeddings_"):
+            mod = p0[len("decoder_embeddings_"):]
+            if path[1] == "token_emb":
+                val = _t(sd[f"decoder_embeddings.{mod}.token_emb.weight"])
+            elif path[1] == "to_logits":
+                val = _t(sd[f"decoder_embeddings.{mod}.to_logits.weight"])
+            else:
+                raise KeyError(name)
+        elif p0 in ("encoder_norm", "decoder_norm"):
+            val = _t(sd[f"{p0}.{path[-1]}"])
+        elif p0 == "decoder_proj_context":
+            val = dense_or_bias("decoder_proj_context")
+        elif re.fullmatch(r"(encoder|decoder)_\d+", p0):
+            stack, idx = p0.rsplit("_", 1)
+            base = f"{stack}.{idx}." + ".".join(path[1:-1])
+            if path[-1] in ("kernel",):
+                val = _dense(sd, base + ".weight")
+            elif path[-2] in ("norm1", "norm2", "query_norm", "context_norm",
+                              "q_norm", "k_norm"):
+                val = _t(sd[base + f".{path[-1]}"])
+            else:  # bias of a Dense
+                val = _t(sd[base + ".bias"])
+        else:
+            raise KeyError(f"no torch mapping for flax param {name}")
+        out[path] = _check(name, leaf.shape, val).astype(np.float32)
+    return {"params": _unflatten(out)}
+
+
+def load_egom2p_pth(path: str, model) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    # build a shape-only flax tree
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+    md = {}
+    for m in model.in_domains:
+        L = (model.mod_info if model.modality_info else MODALITY_INFO)[m]["max_tokens"]
+        md[m] = {"tensor": jnp.zeros((1, L), jnp.int32),
+                 "input_mask": jnp.ones((1, L), bool),
+                 "target_mask": jnp.zeros((1, L), bool),
+                 "decoder_attention_mask": jnp.zeros((1, L), jnp.int32)}
+    shapes = jax.eval_shape(lambda k: model.init(k, md, 64, 64),
+                            jax.random.PRNGKey(0))
+    converted = convert_egom2p_state_dict(sd, shapes, model.in_domains,
+                                          model.out_domains)
+    return jax.tree_util.tree_map(jnp.asarray, converted)
+
+
+# -------------------------------------------------------------- seq VQ-VAE
+def convert_seq_vqvae_state_dict(sd: Dict, flax_params: Dict) -> Tuple[Dict, Dict]:
+    """Reference cam/gaze VQVAE state_dict -> (flax params, vq_state dict)."""
+    flat = _flatten(flax_params["params"])
+    out = {}
+    for path, leaf in flat.items():
+        name = "/".join(path)
+        p0 = path[0]
+        if p0 in ("encoder", "decoder"):
+            rest = path[1:]
+            if rest[0] == "conv":
+                val = (_conv1d(sd, f"{p0}.conv.weight") if rest[-1] == "kernel"
+                       else _t(sd[f"{p0}.conv.bias"]))
+            elif rest[0] == "out_proj":
+                val = (_dense(sd, f"{p0}.out_proj.weight") if rest[-1] == "kernel"
+                       else _t(sd[f"{p0}.out_proj.bias"]))
+            elif rest[0].startswith("blocks_"):
+                i = rest[0].split("_")[1]
+                base = f"{p0}.blocks.{i}." + ".".join(rest[1:-1])
+                if rest[-1] == "kernel":
+                    val = _dense(sd, base + ".weight")
+                elif rest[-2] in ("norm1", "norm2"):
+                    val = _t(sd[base + f".{rest[-1]}"])
+                else:
+                    val = _t(sd[base + ".bias"])
+            elif rest[0] in ("norm_mlp",):
+                val = _t(sd[f"{p0}.norm_mlp.{rest[-1]}"])
+            elif rest[0] == "post_mlp":
+                base = f"{p0}.post_mlp." + ".".join(rest[1:-1])
+                val = (_dense(sd, base + ".weight") if rest[-1] == "kernel"
+                       else _t(sd[base + ".bias"]))
+            else:
+                raise KeyError(name)
+        elif p0 in ("quant_proj", "post_quant_proj"):
+            if path[-1] == "kernel":
+                val = _t(sd[f"{p0}.weight"])[:, :, 0].T  # Conv1d 1x1 -> Dense
+            else:
+                val = _t(sd[f"{p0}.bias"])
+        else:
+            raise KeyError(name)
+        out[path] = _check(name, leaf.shape, val).astype(np.float32)
+
+    vq_state = {
+        "embed": _t(sd["quantize._codebook.embed"]).astype(np.float32),
+        "cluster_size": _t(sd["quantize._codebook.cluster_size"]).astype(np.float32),
+        "initted": np.asarray(bool(_t(sd["quantize._codebook.initted"]).item())),
+    }
+    return {"params": _unflatten(out)}, vq_state
+
+
+def load_seq_vqvae_pth(path: str, domain: str):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from egom2p_tpu.ops.vq import VQState
+    from egom2p_tpu.tokenizers.seq_vqvae import seq_vqvae_from_config
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    tok = seq_vqvae_from_config(domain, jax.random.PRNGKey(0))
+    params, vq = convert_seq_vqvae_state_dict(sd, tok.params)
+    tok.params = jax.tree_util.tree_map(jnp.asarray, params)
+    tok.vq_state = VQState(embed=jnp.asarray(vq["embed"]),
+                           cluster_size=jnp.asarray(vq["cluster_size"]),
+                           initted=jnp.asarray(vq["initted"]))
+    return tok
+
+
+# ----------------------------------------------------------------- Cosmos
+_COSMOS_ATTN_SUFFIX = {"_s": "0", "_t": "1"}
+
+
+def _cosmos_torch_key(path: Tuple[str, ...]) -> str:
+    """flax path inside encoder/decoder -> reference torch key suffix."""
+    parts = list(path)
+    out = []
+    for p in parts:
+        m = re.fullmatch(r"(down|up)_(\d+)_(block|attn)_(\d+)(_[st])?", p)
+        if m:
+            lvl, idx = m.group(2), m.group(4)
+            out.append(f"{m.group(1)}.{lvl}.{m.group(3)}.{idx}")
+            if m.group(5):
+                out.append(_COSMOS_ATTN_SUFFIX[m.group(5)])
+            continue
+        m = re.fullmatch(r"(down|up)_(\d+)_(downsample|upsample)", p)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}.{m.group(3)}")
+            continue
+        m = re.fullmatch(r"mid_attn_1(_[st])", p)
+        if m:
+            out.append("mid.attn_1")
+            out.append(_COSMOS_ATTN_SUFFIX[m.group(1)])
+            continue
+        m = re.fullmatch(r"mid_(block_\d+)", p)
+        if m:
+            out.append(f"mid.{m.group(1)}")
+            continue
+        m = re.fullmatch(r"(conv_in|conv_out|conv1|conv2)_(\d)", p)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}")
+            continue
+        out.append(p)
+    return ".".join(out)
+
+
+def convert_cosmos_state_dict(sd: Dict, flax_params: Dict) -> Dict:
+    """Cosmos DV torch state_dict (full or merged encoder/decoder JIT dicts)
+    -> flax params tree."""
+    flat = _flatten(flax_params["params"])
+    out = {}
+    for path, leaf in flat.items():
+        name = "/".join(path)
+        tbase = _cosmos_torch_key(path[:-1])
+        leafname = path[-1]
+        if leafname == "kernel":  # conv3d
+            assert path[-2] == "conv3d", name
+            val = _conv3d(sd, tbase + ".weight")
+        elif leafname == "scale":  # CausalNormalize
+            val = _t(sd[tbase + ".norm.weight"])
+        elif leafname == "bias" and path[-2] == "conv3d":
+            val = _t(sd[tbase + ".bias"])
+        elif leafname == "bias":  # normalize bias
+            val = _t(sd[tbase + ".norm.bias"])
+        else:
+            raise KeyError(name)
+        out[path] = _check(name, leaf.shape, val).astype(np.float32)
+    return {"params": _unflatten(out)}
+
+
+def load_cosmos_dv_pth(encoder_path: str, decoder_path: str = None, cfg=None):
+    """Load Cosmos DV weights from TorchScript encoder.jit / decoder.jit (or a
+    plain .pth with the full network state_dict)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from egom2p_tpu.tokenizers.cosmos import (CausalVideoTokenizer,
+                                              DV4x8x8_CONFIG)
+    from egom2p_tpu.tokenizers.cosmos.network import CausalDiscreteVideoTokenizer
+
+    cfg = cfg or DV4x8x8_CONFIG
+
+    def read_sd(p):
+        if p.endswith(".jit"):
+            return torch.jit.load(p, map_location="cpu").state_dict()
+        ckpt = torch.load(p, map_location="cpu", weights_only=False)
+        return ckpt.get("model", ckpt)
+
+    sd = dict(read_sd(encoder_path))
+    if decoder_path:
+        sd.update(read_sd(decoder_path))
+    # JIT wrappers rename nothing else: encoder.* / decoder.* / quant_conv.* /
+    # post_quant_conv.* (+ inv_quant.quantizer buffers which we recompute)
+    sd = {k: v for k, v in sd.items() if not k.startswith("inv_quant")
+          and not k.startswith("quantizer")}
+
+    module = CausalDiscreteVideoTokenizer(cfg)
+    x0 = jnp.zeros((1, 17, 256, 256, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: module.init(k, x0), jax.random.PRNGKey(0))
+    params = convert_cosmos_state_dict(sd, shapes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return CausalVideoTokenizer(params, cfg)

@@ -1,0 +1,60 @@
+"""Checkpoint save/load (Orbax).
+
+TPU-native equivalent of the reference checkpoint utilities
+(reference: egom2p/utils/checkpoint.py:91-157): periodic `checkpoint-{N}`
+directories plus a `checkpoint-final`, and auto-resume that scans for the
+latest epoch.  Torch `.pth` interop lives in egom2p_tpu/compat/torch_convert.py.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_path(output_dir: str, tag) -> str:
+    return os.path.join(os.path.abspath(output_dir), f"checkpoint-{tag}")
+
+
+def save_checkpoint(output_dir: str, tag, state: Any) -> str:
+    """Save a pytree under output_dir/checkpoint-{tag} (rank-0 only in
+    multiprocess settings; orbax coordinates internally)."""
+    path = _ckpt_path(output_dir, tag)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, target=target)
+    return ckptr.restore(path)
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Find the checkpoint-{N} with the largest N
+    (reference: checkpoint.py:126-136)."""
+    candidates = glob.glob(_ckpt_path(output_dir, "*"))
+    best, best_n = None, -1
+    for c in candidates:
+        m = re.search(r"checkpoint-(\d+)$", c)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = c, int(m.group(1))
+    if best is None and os.path.isdir(_ckpt_path(output_dir, "final")):
+        best = _ckpt_path(output_dir, "final")
+    return best
+
+
+def auto_load_model(output_dir: str, target: Optional[Any] = None):
+    """Resume-from-latest (reference: checkpoint.py:123-157).  Returns
+    (state, path) or (None, None)."""
+    path = latest_checkpoint(output_dir)
+    if path is None:
+        return None, None
+    return load_checkpoint(path, target), path

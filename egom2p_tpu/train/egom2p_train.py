@@ -1,0 +1,137 @@
+"""EgoM2P pretraining step: pjit-sharded, grad-accumulating.
+
+TPU-native equivalent of the reference DDP train loop internals
+(reference: run_training_egom2p.py:678-798):
+
+  * DDP all-reduce becomes batch-axis sharding over the (replica, data) mesh;
+    XLA inserts the gradient psum automatically under jit,
+  * torch.cuda.amp autocast bf16 + GradScaler becomes fp32 params with bf16
+    compute and no loss scaling,
+  * gradient accumulation uses a lax.scan over microbatches inside one jit
+    (the reference uses no_sync() between accumulation steps,
+    run_training_egom2p.py:723),
+  * per-step LR assignment from precomputed arrays becomes an optax schedule
+    indexed by the step counter.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from egom2p_tpu.core.mesh import BATCH_SPEC, REPLICATED_SPEC
+from egom2p_tpu.models.egom2p import EgoM2P
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: EgoM2P, optimizer: optax.GradientTransformation,
+                    num_input_tokens: int, num_target_tokens: int,
+                    loss_type: str = "mod", accum_steps: int = 1):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `batch` is a mod-dict pytree whose leaves have a leading
+    (accum_steps * local_batch) dimension; sharded over the data axes by the
+    caller (see shard_batch)."""
+
+    def loss_fn(params, mod_dict, rng):
+        loss, mod_loss = model.apply(
+            params, mod_dict, num_input_tokens, num_target_tokens, loss_type,
+            deterministic=False,
+            rngs={"shuffle": rng, "dropout": jax.random.fold_in(rng, 1)})
+        return loss, mod_loss
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        if accum_steps == 1:
+            (loss, mod_loss), grads = grad_fn(state.params, batch, rng)
+        else:
+            def micro(carry, inp):
+                g_acc, l_acc, ml_acc = carry
+                md, r = inp
+                (l, ml), g = grad_fn(state.params, md, r)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                ml_acc = jax.tree_util.tree_map(jnp.add, ml_acc, ml)
+                return (g_acc, l_acc + l, ml_acc), None
+
+            # split leading dim into accum microbatches
+            def split(x):
+                return x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                 *x.shape[1:])
+
+            micro_batches = jax.tree_util.tree_map(split, batch)
+            rngs = jax.random.split(rng, accum_steps)
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_ml = {m: jnp.zeros((), jnp.float32)
+                       for m in sorted(model.out_domains)}
+            (grads, loss, mod_loss), _ = jax.lax.scan(
+                micro, (zero_g, jnp.zeros((), jnp.float32), zero_ml),
+                (micro_batches, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            loss = loss / accum_steps
+            mod_loss = jax.tree_util.tree_map(lambda l: l / accum_steps, mod_loss)
+
+        gnorm = optax.global_norm(grads)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1)
+        metrics = {"loss": loss, "grad_norm": gnorm, **{
+            f"loss_{m}": v for m, v in mod_loss.items()}}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: EgoM2P, num_input_tokens: int,
+                   num_target_tokens: int, loss_type: str = "mod"):
+    """Deterministic eval loss (reference: run_training_egom2p.py:800-834)."""
+
+    def eval_step(params, batch):
+        loss, mod_loss = model.apply(
+            params, batch, num_input_tokens, num_target_tokens, loss_type,
+            deterministic=True)
+        return {"loss": loss, **{f"loss_{m}": v for m, v in mod_loss.items()}}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------- sharding
+def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    """Replicate params/opt state across the mesh (pure data parallelism, the
+    only model-training parallelism the reference uses, SURVEY.md §2.5);
+    parameter sharding for TP/FSDP can be layered in here later."""
+    repl = NamedSharding(mesh, REPLICATED_SPEC)
+    return jax.tree_util.tree_map(lambda _: repl, state)
+
+
+def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
+    shard = NamedSharding(mesh, BATCH_SPEC)
+    return jax.tree_util.tree_map(lambda _: shard, batch)
+
+
+def jit_train_step(mesh: Mesh, train_step, state: TrainState, batch: Dict):
+    """Jit the step with explicit in/out shardings over the mesh."""
+    st_sh = state_shardings(mesh, state)
+    b_sh = batch_shardings(mesh, batch)
+    repl = NamedSharding(mesh, REPLICATED_SPEC)
+    metrics_sh = None  # let the compiler pick (scalars)
+    return jax.jit(
+        train_step,
+        in_shardings=(st_sh, b_sh, repl),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,),
+    )

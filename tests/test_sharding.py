@@ -1,0 +1,85 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from egom2p_tpu.core.mesh import MeshConfig, make_mesh, num_data_shards
+from egom2p_tpu.core.optim import create_optimizer
+from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler
+from egom2p_tpu.models.egom2p import create_model
+from egom2p_tpu.train.egom2p_train import (TrainState, init_train_state,
+                                           jit_train_step, make_train_step)
+from tests.test_model import MODALITY_INFO, MODS4, make_mod_dict
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert num_data_shards(mesh) == 8
+
+
+@pytest.mark.parametrize("accum", [1, 2])
+def test_sharded_train_step(accum):
+    mesh = make_mesh()
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=MODS4, out_domains=MODS4,
+                         modality_info=MODALITY_INFO)
+    rng = np.random.default_rng(0)
+    B = 8 * accum  # one example per device per microstep
+    md = make_mod_dict(rng, batch=B, mods=MODS4, n_in=24, n_tgt=24)
+    params = model.init(jax.random.PRNGKey(0), md, 24, 24)
+
+    sched = as_optax_schedule(cosine_scheduler(1e-4, 0.0, 2, 4, warmup_steps=2))
+    optimizer = create_optimizer(params, sched, weight_decay=0.05, clip_grad=1.0)
+    state = init_train_state(params, optimizer)
+    step = make_train_step(model, optimizer, 24, 24, "mod", accum_steps=accum)
+    jstep = jit_train_step(mesh, step, state, md)
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, metrics = jstep(state, md, k)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["grad_norm"]))
+    assert int(state.step) == 3
+    # training on a fixed batch must reduce loss
+    assert losses[-1] < losses[0]
+
+
+def test_dp_grads_match_single_device():
+    """Data-parallel sharded step must produce the same update as an
+    unsharded step (XLA psum == DDP all-reduce)."""
+    mesh = make_mesh()
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=("tok_cam", "tok_gaze"),
+                         out_domains=("tok_cam", "tok_gaze"),
+                         modality_info=MODALITY_INFO)
+    rng = np.random.default_rng(1)
+    md = make_mod_dict(rng, batch=8, mods=("tok_cam", "tok_gaze"),
+                       n_in=8, n_tgt=8)
+    params = model.init(jax.random.PRNGKey(0), md, 8, 8)
+    sched = as_optax_schedule(cosine_scheduler(1e-4, 0, 1, 4))
+    optimizer = create_optimizer(params, sched)
+    state = init_train_state(params, optimizer)
+    step = make_train_step(model, optimizer, 8, 8)
+
+    k = jax.random.PRNGKey(3)
+    # plain jit first: the sharded step donates (and invalidates) its input
+    # state buffers
+    st_plain, m_plain = jax.jit(step)(
+        init_train_state(params, optimizer), md, k)
+    sharded = jit_train_step(mesh, step, state, md)
+    st_sharded, m_sharded = sharded(state, md, k)
+    assert np.allclose(float(m_sharded["loss"]), float(m_plain["loss"]),
+                       rtol=1e-5)
+    assert np.allclose(float(m_sharded["grad_norm"]),
+                       float(m_plain["grad_norm"]), rtol=1e-4)
+    # Adam's m/sqrt(v) amplifies reduction-order noise to ~2*lr for grads near
+    # zero, so parameter agreement is bounded by the step size (1e-4 here).
+    a = jax.tree_util.tree_leaves(st_sharded.params)
+    b = jax.tree_util.tree_leaves(st_plain.params)
+    for x, y in zip(a, b):
+        assert np.abs(np.asarray(x) - np.asarray(y)).max() < 3e-4
