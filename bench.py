@@ -21,6 +21,8 @@ import time
 
 def main():
     t_setup = time.time()
+    from egom2p_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     import numpy as np
     import types
 

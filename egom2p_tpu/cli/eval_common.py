@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from egom2p_tpu.core.cache import enable_persistent_cache
 from egom2p_tpu.core.checkpoint import load_checkpoint
 from egom2p_tpu.data.modality_info import MODALITY_INFO
 from egom2p_tpu.data.video_ingest import read_video
@@ -118,6 +119,7 @@ def run_task(task: str, cond_domain: str, target_domain: str,
     """Run one rgbX->Y eval task over the matching example files.
 
     Returns per-file timing/output records (used by bench.py)."""
+    enable_persistent_cache()
     model, params = load_main_model(args)
     sampler = GenerationSampler(model, params)
 

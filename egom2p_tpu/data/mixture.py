@@ -1,0 +1,109 @@
+"""Mixture dataloader: weighted sampling across datasets + batching.
+
+Equivalent of the reference MixtureDataset / build_mixture_dataloader
+(reference: egom2p/data/unified_datasets.py:491-568): each drawn sample comes
+from one dataset (weighted choice); modalities absent from that dataset are
+padded with fully-masked placeholders so every batch has the same fixed-shape
+modality dict (make_empty_mod_dict, unified_datasets.py:491-553).
+
+Output batches are host numpy arrays ready for jax.device_put; double
+buffering is handled by a small background prefetch thread.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from egom2p_tpu.masking.unified import UnifiedMasking
+
+
+def make_empty_mod_entry(info: Dict) -> Dict[str, np.ndarray]:
+    """Fully-masked placeholder for a modality absent from a dataset
+    (reference: unified_datasets.py:491-553)."""
+    if info["type"] in ("img", "cam", "gaze", "keypoints"):
+        L = info["max_tokens"]
+    else:
+        L = (info["max_tokens"] + 1) * 2
+    return {
+        "tensor": np.zeros(L, dtype=np.int32),
+        "input_mask": np.ones(L, dtype=bool),
+        "target_mask": np.ones(L, dtype=bool),
+        "decoder_attention_mask": np.zeros(L, dtype=np.int32),
+    }
+
+
+class DatasetStream:
+    """One dataset: raw-sample iterator + its UnifiedMasking instance."""
+
+    def __init__(self, name: str, sample_iter_factory, masking: UnifiedMasking):
+        self.name = name
+        self.factory = sample_iter_factory
+        self.masking = masking
+        self._it = iter(self.factory())
+
+    def __next__(self):
+        try:
+            raw = next(self._it)
+        except StopIteration:
+            self._it = iter(self.factory())
+            raw = next(self._it)
+        return self.masking(raw)
+
+
+class MixtureLoader:
+    """Weighted mixture of DatasetStreams -> fixed-shape numpy batches."""
+
+    def __init__(self, streams: Sequence[DatasetStream],
+                 weights: Optional[Sequence[float]],
+                 all_modality_info: Dict, batch_size: int,
+                 seed: int = 0, prefetch: int = 2):
+        self.streams = list(streams)
+        w = np.asarray(weights if weights is not None
+                       else [1.0] * len(streams), dtype=np.float64)
+        self.weights = w / w.sum()
+        self.all_info = all_modality_info
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def _one_sample(self) -> Dict:
+        idx = int(self.rng.choice(len(self.streams), p=self.weights))
+        masked = next(self.streams[idx])
+        # pad absent modalities with fully-masked placeholders
+        for mod, info in self.all_info.items():
+            if mod not in masked:
+                masked[mod] = make_empty_mod_entry(info)
+        return masked
+
+    def _one_batch(self) -> Dict:
+        samples = [self._one_sample() for _ in range(self.batch_size)]
+        batch = {}
+        for mod in self.all_info:
+            batch[mod] = {
+                k: np.stack([s[mod][k] for s in samples])
+                for k in ("tensor", "input_mask", "target_mask",
+                          "decoder_attention_mask")
+            }
+        return batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                while True:
+                    q.put(self._one_batch())
+            except Exception as e:  # surfaces in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item

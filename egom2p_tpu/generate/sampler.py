@@ -110,39 +110,60 @@ def expand_to_batch(mod_dict, batch_size):
 
 
 # ------------------------------------------------------------------ sampling
-def top_k_top_p_filter(logits: jnp.ndarray, top_k: float, top_p: float) -> jnp.ndarray:
-    """(reference: generate.py:332-359); logits (..., V) fp32."""
-    if top_k and top_k > 0:
-        v = logits.shape[-1]
-        k = int(top_k) if top_k >= 1 else max(1, int(top_k * v))
-        k = min(k, v)
-        thresh = jax.lax.top_k(logits, k)[0][..., -1:]
-        logits = jnp.where(logits < thresh, -jnp.inf, logits)
-    if top_p and top_p > 0.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        sorted_idx = jnp.argsort(logits, axis=-1)[..., ::-1]
-        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
-        remove = cum > top_p
-        remove = jnp.concatenate(
-            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
-        restore = jnp.argsort(sorted_idx, axis=-1)
-        remove = jnp.take_along_axis(remove, restore, axis=-1)
-        logits = jnp.where(remove, -jnp.inf, logits)
-    return logits
+_TOPP_TRUNC = 4096  # candidate set cap for sort-free nucleus sampling
 
 
 def sample_tokens(logits: jnp.ndarray, key, temperature: float,
                   top_k: float, top_p: float):
-    """Returns (samples, sampled_probs) (reference: generate.py:361-382)."""
+    """Top-k / top-p (nucleus) filtering + categorical sampling
+    (reference: generate.py:332-382).
+
+    TPU-friendly formulation: instead of a full-vocab sort (prohibitively slow
+    for 64k vocab x thousands of positions), take the top `_TOPP_TRUNC`
+    candidates with lax.top_k (already sorted descending) and apply the
+    nucleus cutoff within them.  For any non-degenerate distribution the
+    nucleus is far smaller than the truncation, so this is exact in practice.
+
+    Returns (samples, sampled_probs).
+    """
     if abs(temperature) < 1e-10:
         samples = jnp.argmax(logits, axis=-1)
         probs = jnp.ones(samples.shape, jnp.float32)
         return samples, probs
-    filtered = top_k_top_p_filter(logits, top_k, top_p)
-    probs = jax.nn.softmax(filtered / temperature, axis=-1)
-    samples = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)),
-                                     axis=-1)
-    sampled = jnp.take_along_axis(probs, samples[..., None], axis=-1)[..., 0]
+
+    V = logits.shape[-1]
+    k_user = 0
+    if top_k and top_k > 0:
+        k_user = int(top_k) if top_k >= 1 else max(1, int(top_k * V))
+    K = min(V, max(k_user, _TOPP_TRUNC) if (top_p and top_p > 0) else
+            (k_user or V))
+
+    if K < V or k_user:
+        vals, idxs = jax.lax.top_k(logits, K)  # sorted descending
+    else:
+        vals, idxs = logits, None
+
+    if k_user and k_user < vals.shape[-1]:
+        pos = jnp.arange(vals.shape[-1])
+        vals = jnp.where(pos >= k_user, -jnp.inf, vals)
+
+    if top_p and top_p > 0.0 and idxs is not None:
+        p = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(p, axis=-1)
+        # shift right so the first token above the threshold is kept
+        # (reference: generate.py:350-353)
+        remove = jnp.concatenate(
+            [jnp.zeros_like(cum[..., :1], dtype=bool), cum[..., :-1] > top_p],
+            axis=-1)
+        vals = jnp.where(remove, -jnp.inf, vals)
+
+    probs = jax.nn.softmax(vals / temperature, axis=-1)
+    choice = jax.random.categorical(key, vals / temperature, axis=-1)
+    sampled = jnp.take_along_axis(probs, choice[..., None], axis=-1)[..., 0]
+    if idxs is not None:
+        samples = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+    else:
+        samples = choice
     return samples, sampled
 
 
@@ -161,34 +182,47 @@ class GenerationSampler:
         self._ar_fns: Dict = {}
 
     # ---------------------------------------------------------------- device
-    def _subset_logits_fn(self, target_mod: str, num_enc: int, k: int):
-        cache_key = (target_mod, num_enc, k)
+    def _step_fn(self, target_mod: str, num_enc: int, k: int, use_cfg: bool,
+                 cfg_scale: float, temperature: float, top_k: float,
+                 top_p: float):
+        """One fully-fused device step: encoder + decoder-subset logits + CFG
+        mix + sampling, all inside a single jit so there is exactly one
+        dispatch per schedule step (critical when the chip sits behind an RPC
+        relay)."""
+        cache_key = (target_mod, num_enc, k, use_cfg, float(cfg_scale),
+                     float(temperature), float(top_k), float(top_p))
         if cache_key not in self._logits_fns:
             model = self.model
 
             @jax.jit
-            def fn(params, mod_dict, ids_keep):
+            def fn(params, mod_dict, ids_keep, key):
                 context, enc_mask = model.apply(
                     params, mod_dict, num_enc,
                     method=EgoM2P.forward_enc_context)
                 logits = model.apply(
                     params, mod_dict, target_mod, context, enc_mask, ids_keep,
-                    method=EgoM2P.forward_dec_subset_logits)
-                return logits  # (B, k, V) fp32
+                    method=EgoM2P.forward_dec_subset_logits)  # (B', k, V)
+                if use_cfg:
+                    B = logits.shape[0] // 2
+                    lc, lu = logits[:B], logits[B:]
+                    # (reference: generate.py:805)
+                    logits = lu + (lc - lu) * cfg_scale
+                samples, probs = sample_tokens(logits, key, temperature,
+                                               top_k, top_p)
+                return samples, probs
 
             self._logits_fns[cache_key] = fn
         return self._logits_fns[cache_key]
 
     # ------------------------------------------------------------ host utils
     def _num_enc_tokens(self, mod_dict) -> int:
-        # max over batch of total unmasked inputs (reference: generate.py:415)
-        total = None
-        for mod in mod_dict:
-            if mod not in self.model.in_domains:
-                continue
-            m = (~mod_dict[mod]["input_mask"]).sum(axis=1)
-            total = m if total is None else total + m
-        return int(total.max()) if total is not None else 0
+        # The reference uses the dynamic max-unmasked count
+        # (generate.py:415); we use the static total of all present input
+        # modalities so a whole ROAR/MaskGIT chain compiles one encoder
+        # shape.  Extra slots are fully-masked padding: zeroed embeddings,
+        # blocked as keys, identical results.
+        return sum(int(np.prod(mod_dict[mod]["tensor"].shape[1:]))
+                   for mod in mod_dict if mod in self.model.in_domains)
 
     def _make_uncond(self, mod_dict, conditioning: List[str]):
         """(reference: generate.py:792-800)"""
@@ -265,17 +299,12 @@ class GenerationSampler:
             ids_dev = jnp.asarray(ids_keep)
 
         num_enc = _bucket(self._num_enc_tokens(stacked))
-        fn = self._subset_logits_fn(target_mod, num_enc, k)
-        logits = fn(self.params, self._to_device(stacked), ids_dev)
+        fn = self._step_fn(target_mod, num_enc, k, use_cfg, cfg_scale,
+                           temperature, top_k, top_p)
+        samples, probs = fn(self.params, self._to_device(stacked), ids_dev, key)
         B = ids_keep.shape[0]
-        if use_cfg:
-            lc, lu = logits[:B], logits[B:]
-            # (reference: generate.py:805)
-            logits = lu + (lc - lu) * cfg_scale
-
-        samples, probs = sample_tokens(logits, key, temperature, top_k, top_p)
-        samples = np.asarray(samples)
-        probs = np.asarray(probs)
+        samples = np.asarray(samples)[:B]
+        probs = np.asarray(probs)[:B]
 
         if scheme == "maskgit" and num_select < k:
             # keep only the top-num_select most confident positions

@@ -28,7 +28,19 @@ def masked_attention(
     *,
     softmax1: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, H, N, hd)."""
+    """Returns (B, H, N, hd).
+
+    Key-padding masks (and no-mask) route to the fused Pallas flash kernel on
+    TPU; structured (B, M, M) masks use the dense einsum path."""
+    if not softmax1:
+        is_key_padding = mask is None or (
+            mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1)
+        if is_key_padding:
+            from egom2p_tpu.ops.flash_attention import (padding_flash_attention,
+                                                        supports_flash)
+            if supports_flash() and q.shape[2] * k.shape[2] >= 256 * 256:
+                kv_blocked = None if mask is None else mask[:, 0, 0, :]
+                return padding_flash_attention(q, k, v, kv_blocked)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale

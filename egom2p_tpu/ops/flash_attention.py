@@ -1,0 +1,96 @@
+"""Fused (flash) attention for key-padding masks on TPU.
+
+The reference materializes O(N^2) fp32 attention with additive masks
+(reference: egom2p/models/egom2p_utils.py:190-199); at the generation-time
+encoder lengths (10k+ tokens) that costs ~10 GB of HBM traffic per layer.
+This wrapper routes the two mask shapes that dominate EgoM2P --- no mask, and
+"blocked padding keys" (B, 1, M) --- onto the Pallas TPU flash-attention
+kernel using segment ids, with sequence padding to the kernel's block sizes.
+
+The structured decoder self-attention mask (cumsum + modality separation,
+(B, M, M)) keeps the dense path; a custom Pallas kernel for it is the next
+optimization step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache()
+def _flash_imports():
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    return flash_attention, SegmentIds, BlockSizes
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def supports_flash() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def padding_flash_attention(
+    q: jnp.ndarray,  # (B, H, N, hd)
+    k: jnp.ndarray,  # (B, H, M, hd)
+    v: jnp.ndarray,  # (B, H, M, hd)
+    kv_blocked: Optional[jnp.ndarray],  # (B, M) bool, True = blocked key
+    block: int = 512,
+) -> jnp.ndarray:
+    """Flash attention where masking is pure key padding.
+
+    Fully-blocked rows return exactly 0, matching
+    egom2p_tpu.ops.attention.masked_attention's empty-conditioning semantics.
+    """
+    flash_attention, SegmentIds, BlockSizes = _flash_imports()
+    B, H, N, hd = q.shape
+    M = k.shape[2]
+    n_pad = -N % block
+    m_pad = -M % block
+    Np, Mp = N + n_pad, M + m_pad
+
+    qp = _pad_to(q, Np, 2)
+    kp = _pad_to(k, Mp, 2)
+    vp = _pad_to(v, Mp, 2)
+
+    q_seg = jnp.zeros((B, Np), jnp.int32)
+    if kv_blocked is None:
+        kv_seg = jnp.zeros((B, Mp), jnp.int32)
+        if m_pad:
+            kv_seg = kv_seg.at[:, M:].set(1)
+    else:
+        kv_seg = _pad_to(kv_blocked.astype(jnp.int32), Mp, 1)
+        if m_pad:
+            kv_seg = kv_seg.at[:, M:].set(1)
+
+    bs = BlockSizes(
+        block_q=min(block, Np), block_k_major=min(block, Mp),
+        block_k=min(block, Mp), block_b=1,
+        block_q_major_dkv=min(block, Np), block_k_major_dkv=min(block, Mp),
+        block_k_dkv=min(block, Mp), block_q_dkv=min(block, Np),
+        block_k_major_dq=min(block, Mp), block_k_dq=min(block, Mp),
+        block_q_dq=min(block, Np),
+    )
+    out = flash_attention(
+        qp, kp, vp, segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+        sm_scale=hd ** -0.5, block_sizes=bs)
+    out = out[:, :, :N]
+    if kv_blocked is not None:
+        # flash emits 0/garbage-safe but not guaranteed-zero rows when every
+        # key is excluded; enforce the zero-output convention explicitly.
+        fully_blocked = kv_blocked.all(axis=-1)  # (B,)
+        out = jnp.where(fully_blocked[:, None, None, None], 0.0, out)
+    return out.astype(q.dtype)

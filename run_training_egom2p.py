@@ -1,0 +1,297 @@
+#!/usr/bin/env python
+"""EgoM2P pretraining entry point (TPU-native).
+
+Same user surface as the reference trainer (reference:
+run_training_egom2p.py): a 3-tier YAML config (--config -> data_config ->
+alphas_config), token-budget-derived epochs, cosine/inverse-sqrt schedules,
+periodic checkpoints and eval.  DDP-over-NCCL becomes a (replica, data) device
+mesh with batch sharding (see egom2p_tpu/train/egom2p_train.py).
+
+Run on real data:
+    python run_training_egom2p.py --config cfgs/egom2p/main_mod4.yaml
+Smoke-run without data (synthetic token streams):
+    python run_training_egom2p.py --config cfgs/egom2p/main_mod4.yaml \
+        --synthetic_data --total_tokens -1 --epochs 1 --epoch_size 64
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+
+
+def get_args(argv=None):
+    from egom2p_tpu.core.config import parse_args_with_config
+
+    p = argparse.ArgumentParser("EgoM2P pretraining",
+                                allow_abbrev=False)
+    # Input & output (reference: ego-b...yaml:7-11)
+    p.add_argument("--run_name", default="auto")
+    p.add_argument("--num_input_tokens", type=int, default=2048)
+    p.add_argument("--num_target_tokens", type=int, default=2048)
+    p.add_argument("--loss_type", default="mod",
+                   choices=["mod", "modality", "weighted_mod", "token"])
+    # Architecture
+    p.add_argument("--model", default="egom2p_base_12e_12d_swiglu_nobias")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--num_register_tokens", type=int, default=0)
+    # Train
+    p.add_argument("--epochs", type=int, default=-1)
+    p.add_argument("--total_tokens", type=float, default=500,
+                   help="in billions; derives epochs (reference: :433-460)")
+    p.add_argument("--opt", default="adamw")
+    p.add_argument("--opt_betas", type=float, nargs=2, default=[0.9, 0.95])
+    p.add_argument("--blr", type=float, default=1e-4)
+    p.add_argument("--min_blr", type=float, default=0.0)
+    p.add_argument("--warmup_epochs", type=int, default=-1)
+    p.add_argument("--warmup_tokens", type=float, default=10)
+    p.add_argument("--warmup_steps", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="per data-parallel shard")
+    p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--clip_grad", type=float, default=1.0)
+    p.add_argument("--lr_schedule", default="cosine",
+                   choices=["cosine", "inverse_sqrt", "constant"])
+    p.add_argument("--seed", type=int, default=0)
+    # Data
+    p.add_argument("--data_config", default=None)
+    p.add_argument("--epoch_size", type=int, default=1_000_000)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--fixed_eval", action="store_true")
+    p.add_argument("--text_tokenizer_path", default=None)
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="random token streams instead of tar shards")
+    p.add_argument("--scaled_modalities", action="store_true",
+                   help="tiny vocab/grid modality registry (CI smoke runs)")
+    # Saving / logging
+    p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--output_dir", default="output/egom2p")
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--no_auto_resume", dest="auto_resume", action="store_false")
+    p.add_argument("--log_wandb", action="store_true", default=False)
+    p.add_argument("--no_log_wandb", dest="log_wandb", action="store_false")
+    p.add_argument("--wandb_project", default="egom2p-train")
+    p.add_argument("--wandb_entity", default=None)
+    p.add_argument("--wandb_run_name", default="auto")
+    p.add_argument("--print_freq", type=int, default=10)
+    # unused-but-accepted reference keys (config compatibility)
+    p.add_argument("--s3_data_endpoint", default=None)
+    return parse_args_with_config(p, argv)
+
+
+def setup_data(args, mesh):
+    """Build the train mixture loader (reference: run_training_egom2p.py:256-351)."""
+    from egom2p_tpu.core.config import load_data_config, setup_sampling_mod_info
+    from egom2p_tpu.core.mesh import num_data_shards
+    from egom2p_tpu.data.mixture import DatasetStream, MixtureLoader
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+    from egom2p_tpu.data.tar_reader import (braceexpand,
+                                            multi_tarfile_samples, repeated,
+                                            shard_split, shuffled)
+    from egom2p_tpu.masking.unified import UnifiedMasking
+    import random as pyrandom
+
+    global_batch = args.batch_size * num_data_shards(mesh) * args.accum_steps
+
+    text_tokenizer = None
+    if args.text_tokenizer_path:
+        from tokenizers import Tokenizer
+        text_tokenizer = Tokenizer.from_file(args.text_tokenizer_path)
+
+    all_domains = set()
+    streams, weights = [], None
+
+    if args.synthetic_data:
+        mods = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+        all_domains = set(mods)
+        if args.scaled_modalities:
+            from egom2p_tpu.data.modality_info import make_scaled_modality_info
+            info = make_scaled_modality_info()
+        else:
+            info = {m: dict(MODALITY_INFO[m]) for m in mods}
+        for m in info:
+            info[m]["input_alphas"] = [0.01, 0.1, 1.0, 10.0]
+            info[m]["target_alphas"] = [0.01, 0.1, 1.0, 10.0]
+        masking = UnifiedMasking(info, text_tokenizer,
+                                 args.num_input_tokens,
+                                 args.num_target_tokens,
+                                 sampling_weights=[1.0] * 4, seed=args.seed)
+        rng = np.random.default_rng(args.seed)
+
+        def synth():
+            while True:
+                yield {m: rng.integers(
+                    0, info[m]["vocab_size"],
+                    size=info[m]["max_tokens"]).astype(np.int32)
+                    for m in mods}
+
+        streams = [DatasetStream("synthetic", synth, masking)]
+    else:
+        assert args.data_config, "--data_config required without --synthetic_data"
+        dc = load_data_config(args.data_config)
+        train = dc["train"]
+        weights = train.get("weights")
+        for name, dcfg in train["datasets"].items():
+            mod_info, sampling_weights = setup_sampling_mod_info(
+                dcfg, MODALITY_INFO)
+            all_domains |= set(mod_info)
+            masking = UnifiedMasking(
+                mod_info, text_tokenizer,
+                dcfg.get("num_input_tokens") or args.num_input_tokens,
+                dcfg.get("num_target_tokens") or args.num_target_tokens,
+                sampling_weights=sampling_weights, seed=args.seed)
+            # expand '[rgb,depth]/..../shard-{000..195}.tar' into per-modality
+            # aligned shard lists
+            path = dcfg["data_path"]
+            import re as _re
+            m = _re.search(r"\[([^\]]+)\]", path)
+            mods_in_path = m.group(1).split(",") if m else [""]
+            per_mod = {}
+            for mp in mods_in_path:
+                expanded = braceexpand(
+                    path.replace(f"[{m.group(1)}]", mp) if m else path)
+                # modality key: match tok_<name> by path component
+                mod_key = next((k for k, v in mod_info.items()
+                                if v.get("path") == mp), mp or name)
+                per_mod[mod_key] = shard_split(
+                    expanded, 0, 1)  # single-host for now
+            n_rep = dcfg.get("wds_n_repeats", 1)
+            buf = dcfg.get("wds_shuffle_buffer_tar", 1000)
+            pyr = pyrandom.Random(args.seed)
+
+            def factory(per_mod=per_mod, n_rep=n_rep, buf=buf, pyr=pyr):
+                return shuffled(
+                    repeated(lambda: multi_tarfile_samples(per_mod), n_rep),
+                    buf, pyr)
+
+            streams.append(DatasetStream(name, factory, masking))
+
+    info_all = {m: MODALITY_INFO[m] for m in sorted(all_domains)}
+    loader = MixtureLoader(streams, weights, info_all, global_batch,
+                           seed=args.seed)
+    return loader, sorted(all_domains)
+
+
+def main(args):
+    import jax
+    from egom2p_tpu.core.cache import enable_persistent_cache
+    from egom2p_tpu.core.checkpoint import (auto_load_model, save_checkpoint)
+    from egom2p_tpu.core.logging import JsonlLogger, MetricLogger, WandbLogger
+    from egom2p_tpu.core.mesh import make_mesh, num_data_shards
+    from egom2p_tpu.core.optim import create_optimizer
+    from egom2p_tpu.core.schedules import (as_optax_schedule, cosine_scheduler,
+                                           constant_scheduler,
+                                           inverse_sqrt_scheduler)
+    from egom2p_tpu.models.egom2p import create_model
+    from egom2p_tpu.train.egom2p_train import (init_train_state,
+                                               jit_train_step, make_train_step)
+
+    enable_persistent_cache()
+    mesh = make_mesh()
+    world = num_data_shards(mesh)
+    global_batch = args.batch_size * world * args.accum_steps
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+          f"global batch {global_batch}")
+
+    loader, all_domains = setup_data(args, mesh)
+
+    # epochs / warmup derivation from token budgets (reference: :433-460)
+    tokens_per_sample = args.num_input_tokens + args.num_target_tokens
+    if args.epochs < 0:
+        assert args.total_tokens > 0
+        args.epochs = math.ceil(args.total_tokens * 1e9
+                                / (tokens_per_sample * args.epoch_size))
+        print(f"total tokens {args.total_tokens}B -> {args.epochs} epochs")
+    if args.warmup_epochs < 0 and args.warmup_steps < 0:
+        args.warmup_steps = math.ceil(args.warmup_tokens * 1e9
+                                      / (tokens_per_sample * global_batch))
+
+    niter_per_ep = max(args.epoch_size // global_batch, 1)
+    lr = args.blr * global_batch / 256.0
+    min_lr = args.min_blr * global_batch / 256.0
+    if args.lr_schedule == "cosine":
+        sched = cosine_scheduler(lr, min_lr, args.epochs, niter_per_ep,
+                                 warmup_epochs=max(args.warmup_epochs, 0),
+                                 warmup_steps=args.warmup_steps)
+    elif args.lr_schedule == "inverse_sqrt":
+        sched = inverse_sqrt_scheduler(lr, min_lr, args.epochs, niter_per_ep,
+                                       warmup_steps=args.warmup_steps)
+    else:
+        sched = constant_scheduler(lr, args.epochs, niter_per_ep)
+
+    model_info = None
+    if args.scaled_modalities:
+        from egom2p_tpu.data.modality_info import make_scaled_modality_info
+        model_info = make_scaled_modality_info()
+    model = create_model(args.model, in_domains=all_domains,
+                         out_domains=all_domains,
+                         modality_info=model_info,
+                         num_register_tokens=args.num_register_tokens)
+
+    loader_it = iter(loader)
+    first_batch = next(loader_it)
+    md0 = {m: {k: np.asarray(v) for k, v in d.items()}
+           for m, d in first_batch.items()}
+    params = jax.jit(lambda k: model.init(
+        k, md0, args.num_input_tokens, args.num_target_tokens))(
+        jax.random.PRNGKey(args.seed))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model {args.model}: {n_params/1e6:.1f}M params")
+
+    optimizer = create_optimizer(params, as_optax_schedule(sched),
+                                 weight_decay=args.weight_decay,
+                                 betas=tuple(args.opt_betas),
+                                 clip_grad=args.clip_grad)
+    state = init_train_state(params, optimizer)
+
+    start_epoch = 0
+    if args.auto_resume:
+        restored, path = auto_load_model(args.output_dir, state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(np.asarray(state.step)) // niter_per_ep
+            print(f"resumed from {path} at epoch {start_epoch}")
+
+    step_fn = make_train_step(model, optimizer, args.num_input_tokens,
+                              args.num_target_tokens, args.loss_type,
+                              accum_steps=args.accum_steps)
+    jstep = jit_train_step(mesh, step_fn, state, first_batch)
+
+    jsonl = JsonlLogger(args.output_dir)
+    wandb_logger = WandbLogger(args) if args.log_wandb else None
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    tokens_seen = int(np.asarray(state.step)) * tokens_per_sample * global_batch
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger(print_freq=args.print_freq)
+        batch = first_batch if epoch == start_epoch else next(loader_it)
+        for it, _ in logger.log_every(range(niter_per_ep),
+                                      header=f"Epoch [{epoch}]",
+                                      total=niter_per_ep):
+            key, sub = jax.random.split(key)
+            state, metrics = jstep(state, batch, sub)
+            batch = next(loader_it)  # overlap host loading with device step
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+            tokens_seen += tokens_per_sample * global_batch
+            if wandb_logger:
+                wandb_logger.log({**{k: float(v) for k, v in metrics.items()},
+                                  "tokens_seen": tokens_seen},
+                                 step=int(np.asarray(state.step)))
+        record = {"epoch": epoch, "tokens_seen_B": tokens_seen / 1e9,
+                  **{k: v.global_avg for k, v in logger.meters.items()}}
+        jsonl.write(record)
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch == args.epochs - 1:
+            tag = epoch if epoch != args.epochs - 1 else "final"
+            path = save_checkpoint(args.output_dir, tag, state)
+            print(f"saved {path}")
+    if wandb_logger:
+        wandb_logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main(get_args())
