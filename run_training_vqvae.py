@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Cam/gaze VQ-VAE tokenizer training + tokenize/reconstruct CLI (TPU-native).
+
+Same user surface as the reference (reference: run_training_vqvae.py):
+
+  train:      python run_training_vqvae.py --config cfgs/vqvae/cam.yaml \
+                  --data_path <npy with (N, 60, 4, 4) or (N, 60, 9) samples>
+  tokenize:   ... --resume <ckpt> --tokenize --tokenize_path example_data/cam.npy
+  reconstruct ... --resume <ckpt> --tokenize --recon --tokenize_path ...
+
+Matches the example round-trip flows (reference:
+example_data/tok_cam_example.py:13-25, tok_gaze_example.py:17-31): tokenize
+writes `<name>-tok.npz`, --recon writes `<name>-recon.npy` with the
+denormalized reconstruction.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def get_args(argv=None):
+    from egom2p_tpu.core.config import parse_args_with_config
+
+    p = argparse.ArgumentParser("VQ-VAE tokenizer training", allow_abbrev=False)
+    p.add_argument("--run_name", default="auto")
+    # Architecture (reference: cfgs/default/tokenization/vqvae/**.yaml)
+    p.add_argument("--encoder_type", default="CamTransformer")
+    p.add_argument("--decoder_type", default="CamTransformer")
+    p.add_argument("--num_frames", type=int, default=60)
+    p.add_argument("--post_mlp", type=bool, default=True)
+    p.add_argument("--temporal_downsampling", type=int, default=2)
+    # Quantizer
+    p.add_argument("--codebook_size", type=int, default=256)
+    p.add_argument("--latent_dim", type=int, default=32)
+    p.add_argument("--norm_codes", type=bool, default=True)
+    p.add_argument("--quantizer_type", default="lucid")
+    p.add_argument("--coef_ema_dead_code", type=float, default=32.0)
+    p.add_argument("--code_replacement_policy", default="batch_random")
+    p.add_argument("--commitment_weight", type=float, default=1.0)
+    p.add_argument("--quantizer_ema_decay", type=float, default=0.99)
+    p.add_argument("--kmeans_init", type=bool, default=False)
+    # Losses
+    p.add_argument("--loss_fn", default="mse", choices=["mse", "mse_mask"])
+    p.add_argument("--codebook_weight", type=float, default=1.0)
+    # Train
+    p.add_argument("--dtype", default="fp32")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--opt", default="adamw")
+    p.add_argument("--opt_betas", type=float, nargs=2, default=[0.9, 0.99])
+    p.add_argument("--blr", type=float, default=2.5e-5)
+    p.add_argument("--warmup_lr", type=float, default=1e-6)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--clip_grad", type=float, default=1.0)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_freq", type=int, default=1)
+    # Data
+    p.add_argument("--domain", default="cam", choices=["cam", "gaze"])
+    p.add_argument("--data_path", default=None,
+                   help="npy/npz of training clips; cam: (N,60,4,4) poses or "
+                        "(N,60,9) canonicalized; gaze: (N,60,2)")
+    p.add_argument("--eval_data_path", default=None)
+    p.add_argument("--output_dir", default="output/vqvae")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    # Tokenize / reconstruct mode (reference: run_training_vqvae.py:808-812)
+    p.add_argument("--tokenize", action="store_true")
+    p.add_argument("--recon", action="store_true")
+    p.add_argument("--tokenize_path", default=None)
+    p.add_argument("--tokenize_save_path", default="./")
+    # logging
+    p.add_argument("--log_wandb", action="store_true", default=False)
+    p.add_argument("--no_log_wandb", dest="log_wandb", action="store_false")
+    p.add_argument("--wandb_project", default="egom2p-tokenizers")
+    p.add_argument("--wandb_entity", default=None)
+    p.add_argument("--wandb_run_name", default="auto")
+    p.add_argument("--print_freq", type=int, default=20)
+    # accepted-but-unused reference keys
+    for k in ("model_ema", "model_ema_decay", "model_ema_update_freq",
+              "find_unused_params", "init_weights", "step_eval", "epoch_eval",
+              "eval_metrics_freq", "eval_image_log_freq",
+              "num_eval_metrics_samples", "num_logged_images",
+              "input_size_eval", "imagenet_default_mean_and_std",
+              "min_crop_scale", "dtype_percept"):
+        p.add_argument(f"--{k}", default=None)
+    return parse_args_with_config(p, argv)
+
+
+def build_tokenizer(args, rng):
+    from egom2p_tpu.tokenizers.seq_vqvae import seq_vqvae_from_config
+
+    return seq_vqvae_from_config(
+        args.domain, rng, num_frames=args.num_frames,
+        temporal_compress=args.temporal_downsampling,
+        codebook_size=args.codebook_size, latent_dim=args.latent_dim,
+        ema_decay=args.quantizer_ema_decay,
+        threshold_ema_dead_code=(args.coef_ema_dead_code
+                                 / args.codebook_size),
+        commitment_weight=args.commitment_weight,
+        kmeans_init=args.kmeans_init)
+
+
+def load_tokenizer_state(tok, path, domain):
+    """Restore params + codebook from an orbax checkpoint or a reference .pth."""
+    import jax.numpy as jnp
+    from egom2p_tpu.ops.vq import VQState
+
+    if path.endswith(".pth"):
+        from egom2p_tpu.compat.torch_convert import load_seq_vqvae_pth
+        loaded = load_seq_vqvae_pth(path, domain)
+        tok.params, tok.vq_state = loaded.params, loaded.vq_state
+        return tok
+    from egom2p_tpu.core.checkpoint import load_checkpoint
+    state = load_checkpoint(path)
+    tok.params = state["params"]
+    vq = state["vq_state"]
+    tok.vq_state = VQState(embed=jnp.asarray(vq["embed"]),
+                           cluster_size=jnp.asarray(vq["cluster_size"]),
+                           initted=jnp.asarray(vq["initted"]))
+    return tok
+
+
+def prepare_samples(args, path: str) -> (np.ndarray, str):
+    """Domain preprocessing for tokenize/recon inputs
+    (reference: cam_traj_dataset.py:59-63, gaze_dataset.py:105-110)."""
+    from egom2p_tpu.data.cam_gaze import (canonicalize_cam, convert_gaze,
+                                          normalize_cam)
+    data = np.load(path)
+    if hasattr(data, "files"):
+        data = data[data.files[0]]
+    name = os.path.basename(path).split(".")[0]
+    name += "-recon" if args.recon else "-tok"
+    if args.domain == "cam":
+        if data.ndim == 3 and data.shape[-2:] == (4, 4):
+            data = canonicalize_cam(data)
+        x = normalize_cam(data)[None].astype(np.float32)
+    else:
+        if data.shape[-1] == 2:
+            # holoassist example params (reference: gaze_dataset.py:105-110)
+            data = convert_gaze(data, orig_res=[896, 504],
+                                resize_res=[896, 504], new_res=[480, 480])
+        x = data[None].astype(np.float32)
+    return x, name
+
+
+def run_tokenize(args):
+    import jax
+    from egom2p_tpu.data.cam_gaze import denormalize_cam, denormalize_gaze
+
+    tok = build_tokenizer(args, jax.random.PRNGKey(args.seed))
+    if args.resume:
+        tok = load_tokenizer_state(tok, args.resume, args.domain)
+    else:
+        print("[warn] --tokenize without --resume: random weights")
+
+    x, name = prepare_samples(args, args.tokenize_path)
+    out_dir = os.path.join(args.tokenize_save_path, "token")
+    os.makedirs(out_dir, exist_ok=True)
+    if args.recon:
+        rec = np.asarray(tok.autoencode(x))[0]
+        rec = (denormalize_cam(rec) if args.domain == "cam"
+               else denormalize_gaze(rec))
+        out = os.path.join(out_dir, f"{name}.npy")
+        np.save(out, rec)
+    else:
+        tokens = np.asarray(tok.tokenize(x))[0].astype(np.int16)
+        out = os.path.join(out_dir, f"{name}.npz")
+        np.savez(out, tokens)
+    print(f"saved {out}")
+    return out
+
+
+def run_train(args):
+    import jax
+    import optax
+    from egom2p_tpu.core.cache import enable_persistent_cache
+    from egom2p_tpu.core.checkpoint import auto_load_model, save_checkpoint
+    from egom2p_tpu.core.logging import JsonlLogger, MetricLogger
+    from egom2p_tpu.core.mesh import make_mesh, num_data_shards
+    from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler
+    from egom2p_tpu.data.cam_gaze import canonicalize_cam, normalize_cam
+    from egom2p_tpu.train.vqvae_train import (init_train_state,
+                                              make_vqvae_train_step)
+
+    enable_persistent_cache()
+    mesh = make_mesh()
+    world = num_data_shards(mesh)
+    global_batch = args.batch_size * world
+
+    assert args.data_path, "--data_path required for training"
+    data = np.load(args.data_path)
+    if hasattr(data, "files"):
+        data = data[data.files[0]]
+    if args.domain == "cam" and data.ndim == 4:
+        data = np.stack([canonicalize_cam(d) for d in data])
+    if args.domain == "cam":
+        data = normalize_cam(data)
+    data = data.astype(np.float32)
+    print(f"train samples: {data.shape}")
+
+    tok = build_tokenizer(args, jax.random.PRNGKey(args.seed))
+    niter_per_ep = max(len(data) // global_batch, 1)
+    lr = args.blr * global_batch / 256.0
+    sched = cosine_scheduler(lr, args.min_lr, args.epochs, niter_per_ep,
+                             warmup_epochs=args.warmup_epochs,
+                             start_warmup_value=args.warmup_lr)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(args.clip_grad),
+        optax.adamw(as_optax_schedule(sched), b1=args.opt_betas[0],
+                    b2=args.opt_betas[1], weight_decay=args.weight_decay))
+    step_fn = jax.jit(make_vqvae_train_step(
+        tok.module, tok.vq_cfg, optimizer, loss_fn=args.loss_fn,
+        codebook_weight=args.codebook_weight))
+    state = init_train_state(tok.params, optimizer, tok.vq_state)
+
+    start_epoch = 0
+    if args.auto_resume and not args.resume:
+        restored, path = auto_load_model(args.output_dir, state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(np.asarray(state.step)) // niter_per_ep
+            print(f"resumed from {path} at epoch {start_epoch}")
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed + 1)
+    jsonl = JsonlLogger(args.output_dir)
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger(print_freq=args.print_freq)
+        order = rng.permutation(len(data))
+        for it, _ in logger.log_every(range(niter_per_ep),
+                                      header=f"Epoch [{epoch}]",
+                                      total=niter_per_ep):
+            idx = order[it * global_batch:(it + 1) * global_batch]
+            batch = data[idx]
+            key, k = jax.random.split(key)
+            state, metrics = step_fn(state, batch, k)
+            logger.update(**{m: float(v) for m, v in metrics.items()})
+        jsonl.write({"epoch": epoch,
+                     **{k: v.global_avg for k, v in logger.meters.items()}})
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch == args.epochs - 1:
+            tag = epoch if epoch != args.epochs - 1 else "final"
+            save_checkpoint(args.output_dir, tag, {
+                "params": state.params,
+                "vq_state": state.vq_state._asdict(),
+            })
+    return state
+
+
+if __name__ == "__main__":
+    args = get_args()
+    if args.tokenize:
+        run_tokenize(args)
+    else:
+        run_train(args)
