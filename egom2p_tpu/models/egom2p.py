@@ -63,6 +63,9 @@ class EgoM2PConfig:
     share_modality_embeddings: bool = True
     drop_path_rate_encoder: float = 0.0
     drop_path_rate_decoder: float = 0.0
+    # rematerialize each block in the backward pass (reference flag:
+    # egom2p_model.py:82); essential on 16GB-HBM chips at batch >= 8
+    use_act_checkpoint: bool = False
 
 
 class EgoM2P(nn.Module):
@@ -114,13 +117,19 @@ class EgoM2P(nn.Module):
         )
         dpr_enc = np.linspace(0, cfg.drop_path_rate_encoder, cfg.encoder_depth)
         dpr_dec = np.linspace(0, cfg.drop_path_rate_decoder, cfg.decoder_depth)
+        if cfg.use_act_checkpoint:
+            # deterministic flag must stay static under remat
+            BlockCls = nn.remat(Block, static_argnums=(3,))
+            DecBlockCls = nn.remat(DecoderBlock, static_argnums=(5,))
+        else:
+            BlockCls, DecBlockCls = Block, DecoderBlock
         self.encoder = [
-            Block(drop_path=float(dpr_enc[i]), name=f"encoder_{i}", **common_kwargs)
+            BlockCls(drop_path=float(dpr_enc[i]), name=f"encoder_{i}", **common_kwargs)
             for i in range(cfg.encoder_depth)
         ]
         self.encoder_norm = LayerNorm(use_bias=cfg.norm_bias, name="encoder_norm")
         self.decoder = [
-            DecoderBlock(drop_path=float(dpr_dec[i]), name=f"decoder_{i}", **common_kwargs)
+            DecBlockCls(drop_path=float(dpr_dec[i]), name=f"decoder_{i}", **common_kwargs)
             for i in range(cfg.decoder_depth)
         ]
         self.decoder_norm = LayerNorm(use_bias=cfg.norm_bias, name="decoder_norm")
@@ -293,13 +302,12 @@ class EgoM2P(nn.Module):
     # ------------------------------------------------------------- backbones
     def forward_encoder(self, x, encoder_mask, deterministic=True):
         for blk in self.encoder:
-            x = blk(x, encoder_mask, deterministic=deterministic)
+            x = blk(x, encoder_mask, deterministic)
         return self.encoder_norm(x)
 
     def forward_decoder(self, y, context, encoder_mask, sa_mask, deterministic=True):
         for blk in self.decoder:
-            y = blk(y, context, sa_mask=sa_mask, xa_mask=encoder_mask,
-                    deterministic=deterministic)
+            y = blk(y, context, sa_mask, encoder_mask, deterministic)
         return self.decoder_norm(y)
 
     # ------------------------------------------------------------------ loss

@@ -38,6 +38,9 @@ def get_args(argv=None):
     p.add_argument("--model", default="egom2p_base_12e_12d_swiglu_nobias")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--num_register_tokens", type=int, default=0)
+    p.add_argument("--use_act_checkpoint", type=bool, default=True,
+                   help="rematerialize blocks in backward (needed at batch>=8 "
+                        "on 16GB chips)")
     # Train
     p.add_argument("--epochs", type=int, default=-1)
     p.add_argument("--total_tokens", type=float, default=500,
@@ -230,7 +233,8 @@ def main(args):
     model = create_model(args.model, in_domains=all_domains,
                          out_domains=all_domains,
                          modality_info=model_info,
-                         num_register_tokens=args.num_register_tokens)
+                         num_register_tokens=args.num_register_tokens,
+                         use_act_checkpoint=bool(args.use_act_checkpoint))
 
     loader_it = iter(loader)
     first_batch = next(loader_it)
