@@ -71,8 +71,8 @@ def load_main_model(args):
         params = load_egom2p_pth(args.ckpt, model)
     else:
         params = load_checkpoint(args.ckpt)
-        if "params" in params:  # full train state saved
-            params = {"params": params["params"]}
+        if isinstance(params, dict) and "opt_state" in params:
+            params = params["params"]  # full TrainState -> flax variables
     return model, params
 
 

@@ -31,10 +31,24 @@ def save_checkpoint(output_dir: str, tag, state: Any) -> str:
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
-    ckptr = ocp.StandardCheckpointer()
+    """Restore a checkpoint.
+
+    With `target`, restores onto the target's shardings (same-topology
+    resume).  Without, restores as host numpy so checkpoints move freely
+    between topologies (TPU pod -> single chip -> CPU)."""
+    path = os.path.abspath(path)
     if target is not None:
-        return ckptr.restore(path, target=target)
-    return ckptr.restore(path)
+        return ocp.StandardCheckpointer().restore(path, target=target)
+    import jax
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    shard = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype, sharding=shard),
+        tree)
+    return ckptr.restore(path, target=abstract)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:

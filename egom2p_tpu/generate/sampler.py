@@ -321,18 +321,144 @@ class GenerationSampler:
         d["target_mask"][rows, sel_pos] = True
 
     # ------------------------------------------------------- autoregressive
+    def _enc_fn(self, num_enc: int):
+        if ("enc", num_enc) not in self._ar_fns:
+            model = self.model
+
+            @jax.jit
+            def fn(params, mod_dict):
+                return model.apply(params, mod_dict, num_enc,
+                                   method=EgoM2P.forward_enc_context)
+
+            self._ar_fns[("enc", num_enc)] = fn
+        return self._ar_fns[("enc", num_enc)]
+
+    def _ar_token_fn(self, target_mod: str, S: int, use_cfg: bool,
+                     cfg_scale: float, temperature: float, top_k: float,
+                     top_p: float):
+        cache_key = ("tok", target_mod, S, use_cfg, cfg_scale, temperature,
+                     top_k, top_p)
+        if cache_key not in self._ar_fns:
+            model = self.model
+
+            @jax.jit
+            def fn(params, context, enc_mask, y_emb, out_ids, cur, key):
+                logits = model.apply(
+                    params, target_mod, out_ids, y_emb, context, enc_mask,
+                    method=EgoM2P.forward_dec_autoregressive_logits)
+                last = jnp.take_along_axis(
+                    logits,
+                    jnp.broadcast_to((cur - 1)[None, None, None],
+                                     (logits.shape[0], 1, logits.shape[-1])),
+                    axis=1)[:, 0]  # (B', V)
+                if use_cfg:
+                    B = last.shape[0] // 2
+                    lc, lu = last[:B], last[B:]
+                    last = lu + (lc - lu) * cfg_scale
+                samples, _ = sample_tokens(last, key, temperature, top_k, top_p)
+                return samples  # (B,)
+
+            self._ar_fns[cache_key] = fn
+        return self._ar_fns[cache_key]
+
     def _seq_step(self, mod_dict, target_mod: str, temperature: float,
                   top_k: float, top_p: float, conditioning: List[str],
-                  cfg_scale: float, key, text_tokenizer=None,
-                  eos_id: Optional[int] = None) -> None:
-        """Autoregressive sequence decoding with full re-forward per token
-        (reference: generate.py:852-1027), fixed-shape jit.
+                  cfg_scale: float, key, text_tokenizer=None) -> None:
+        """Autoregressive sequence decoding with full fixed-shape re-forward
+        per token (reference: generate.py:852-1027) and span merging
+        (reference: generate.py:552-628)."""
+        from egom2p_tpu.masking.span import (get_sentinel_to_id_mapping,
+                                             merge_span_masking)
+        d = mod_dict[target_mod]
+        use_cfg = cfg_scale != 1.0 and len(conditioning) > 0
+        if use_cfg:
+            stacked = self._stack_dicts(mod_dict,
+                                        self._make_uncond(mod_dict, conditioning))
+        else:
+            stacked = mod_dict
+        num_enc = _bucket(self._num_enc_tokens(stacked))
+        context, enc_mask = self._enc_fn(num_enc)(
+            self.params, self._to_device(stacked))
 
-        The merged input+prediction sequence replaces the modality dict like
-        the reference's merge_sequences (generate.py:552-581)."""
-        raise NotImplementedError(
-            "sequence-modality autoregressive generation lands with the "
-            "caption/det finetune path")
+        # gather target slots in mask-sorted order (deterministic tiebreak,
+        # reference: generate.py:518-550)
+        tm = d["target_mask"]
+        order = np.argsort(tm.astype(np.float64)
+                           + np.arange(tm.shape[1])[None] * 1e-6, axis=1)
+        S = min(int((~tm[0]).sum()),
+                self.info[target_mod]["max_tokens"])
+        ids_keep = order[:, :S]
+        rows = np.arange(tm.shape[0])[:, None]
+        dec_ids = d["tensor"][rows, ids_keep]
+
+        # positional embeddings for the gathered slots, computed on device once
+        model = self.model
+
+        @jax.jit
+        def emb_fn(params, dd, idx):
+            def run(m, dd):
+                _, emb, _ = m.decoder_embeddings[target_mod].forward_embed(
+                    dd, m._dec_mod_emb[target_mod])
+                return emb
+
+            emb = model.apply(params, dd, method=run)
+            return jnp.take_along_axis(emb, idx[..., None], axis=1)
+
+        dd_dev = {k: jnp.asarray(np.concatenate([v, v]) if use_cfg else v)
+                  for k, v in d.items()}
+        idx_dev = jnp.asarray(np.concatenate([ids_keep, ids_keep])
+                              if use_cfg else ids_keep)
+        y_emb = emb_fn(self.params, dd_dev, idx_dev)
+
+        eos_token = int(dec_ids[0][-1])  # final sentinel (generate.py:875)
+        B = tm.shape[0]
+        Bp = 2 * B if use_cfg else B
+        out = np.zeros((Bp, S), dtype=np.int32)
+        out[:, 0] = np.concatenate([dec_ids[:, 0]] * (2 if use_cfg else 1))
+        tok_fn = self._ar_token_fn(target_mod, S, use_cfg, cfg_scale,
+                                   temperature, top_k, top_p)
+        n_gen = 1
+        for i in range(1, S):
+            key, sub = jax.random.split(key)
+            nxt = np.asarray(tok_fn(self.params, context, enc_mask, y_emb,
+                                    jnp.asarray(out), jnp.asarray(i), sub))
+            out[:B, i] = nxt
+            if use_cfg:
+                out[B:, i] = nxt
+            n_gen = i + 1
+            if (out[:B, : i + 1] == eos_token).any(axis=-1).all():
+                break
+
+        if text_tokenizer is None:
+            # raw-token path: write predictions back into the tensor slots
+            d["tensor"][rows, ids_keep[:, :n_gen]] = out[:B, :n_gen]
+            d["input_mask"][rows, ids_keep[:, :n_gen]] = False
+            d["target_mask"][rows, ids_keep[:, :n_gen]] = True
+            return
+
+        # merge predicted spans into the input sequence per batch row
+        # (reference: merge_sequences_batched, generate.py:583-628)
+        sentinel_ids = set(get_sentinel_to_id_mapping(text_tokenizer).values())
+        pad_id = text_tokenizer.token_to_id("[PAD]")
+        merged_rows = []
+        for b in range(B):
+            inp = d["tensor"][b][~d["input_mask"][b]].tolist()
+            if not inp:
+                inp = [next(iter(sorted(sentinel_ids)))]
+            merged_rows.append(merge_span_masking(inp, out[b, :n_gen].tolist(),
+                                                  sentinel_ids))
+        max_len = max(len(r) for r in merged_rows)
+        tensor = np.full((B, max_len), pad_id, dtype=np.int32)
+        input_mask = np.ones((B, max_len), dtype=bool)
+        for b, r in enumerate(merged_rows):
+            tensor[b, : len(r)] = r
+            input_mask[b, : len(r)] = False
+        mod_dict[target_mod] = {
+            "tensor": tensor,
+            "input_mask": input_mask,
+            "target_mask": np.ones((B, max_len), dtype=bool),
+            "decoder_attention_mask": np.zeros((B, max_len), dtype=np.int32),
+        }
 
     # ------------------------------------------------------------ public API
     def generate(self, mod_dict, schedule, top_k: float = 0.0,

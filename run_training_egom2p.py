@@ -68,6 +68,17 @@ def get_args(argv=None):
     p.add_argument("--text_tokenizer_path", default=None)
     p.add_argument("--synthetic_data", action="store_true",
                    help="random token streams instead of tar shards")
+    p.add_argument("--finetune", default=None,
+                   help="warm-start checkpoint (orbax dir or reference .pth); "
+                        "non-matching/pos-emb params keep their init "
+                        "(reference: run_training_egom2p.py:477-489)")
+    p.add_argument("--input_domains", default=None,
+                   help="hyphen-separated; with --target_domains switches to "
+                        "TransferMasking finetuning (reference: masking.py:567)")
+    p.add_argument("--target_domains", default=None)
+    p.add_argument("--eval_iters", type=int, default=10)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of a few steps")
     p.add_argument("--scaled_modalities", action="store_true",
                    help="tiny vocab/grid modality registry (CI smoke runs)")
     # Saving / logging
@@ -119,10 +130,16 @@ def setup_data(args, mesh):
         for m in info:
             info[m]["input_alphas"] = [0.01, 0.1, 1.0, 10.0]
             info[m]["target_alphas"] = [0.01, 0.1, 1.0, 10.0]
-        masking = UnifiedMasking(info, text_tokenizer,
-                                 args.num_input_tokens,
-                                 args.num_target_tokens,
-                                 sampling_weights=[1.0] * 4, seed=args.seed)
+        if args.input_domains and args.target_domains:
+            from egom2p_tpu.masking import TransferMasking
+            masking = TransferMasking(info, text_tokenizer,
+                                      args.input_domains.split("-"),
+                                      args.target_domains.split("-"))
+        else:
+            masking = UnifiedMasking(info, text_tokenizer,
+                                     args.num_input_tokens,
+                                     args.num_target_tokens,
+                                     sampling_weights=[1.0] * 4, seed=args.seed)
         rng = np.random.default_rng(args.seed)
 
         def synth():
@@ -246,6 +263,9 @@ def main(args):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model {args.model}: {n_params/1e6:.1f}M params")
 
+    if args.finetune:
+        params = _warm_start(params, args.finetune, model)
+
     optimizer = create_optimizer(params, as_optax_schedule(sched),
                                  weight_decay=args.weight_decay,
                                  betas=tuple(args.opt_betas),
@@ -269,6 +289,10 @@ def main(args):
     wandb_logger = WandbLogger(args) if args.log_wandb else None
     key = jax.random.PRNGKey(args.seed + 1)
 
+    if args.profile:
+        os.makedirs(os.path.join(args.output_dir, "profile"), exist_ok=True)
+        jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+
     tokens_seen = int(np.asarray(state.step)) * tokens_per_sample * global_batch
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger(print_freq=args.print_freq)
@@ -285,6 +309,10 @@ def main(args):
                 wandb_logger.log({**{k: float(v) for k, v in metrics.items()},
                                   "tokens_seen": tokens_seen},
                                  step=int(np.asarray(state.step)))
+        if args.profile and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            print(f"profile trace -> {args.output_dir}/profile")
+            args.profile = False
         record = {"epoch": epoch, "tokens_seen_B": tokens_seen / 1e9,
                   **{k: v.global_avg for k, v in logger.meters.items()}}
         jsonl.write(record)
@@ -292,9 +320,55 @@ def main(args):
             tag = epoch if epoch != args.epochs - 1 else "final"
             path = save_checkpoint(args.output_dir, tag, state)
             print(f"saved {path}")
+        if args.eval_freq and (epoch + 1) % args.eval_freq == 0:
+            from egom2p_tpu.train.egom2p_train import make_eval_step
+            eval_step = jax.jit(make_eval_step(
+                model, args.num_input_tokens, args.num_target_tokens,
+                args.loss_type))
+            accum = None
+            for _ in range(args.eval_iters):
+                em = eval_step(state.params, next(loader_it))
+                em = {k: float(v) for k, v in em.items()}
+                accum = em if accum is None else {
+                    k: accum[k] + em[k] for k in em}
+            accum = {f"val_{k}": v / args.eval_iters for k, v in accum.items()}
+            print(f"Epoch [{epoch}] eval: " + "  ".join(
+                f"{k}: {v:.4f}" for k, v in accum.items()))
+            jsonl.write({"epoch": epoch, **accum})
     if wandb_logger:
         wandb_logger.finish()
     return state
+
+
+def _warm_start(params, path, model):
+    """Non-strict warm start: copy shape-matching leaves from a checkpoint
+    (reference strips pos_emb and loads non-strict,
+    run_training_egom2p.py:477-489)."""
+    import jax
+    from egom2p_tpu.core.checkpoint import load_checkpoint
+
+    if path.endswith(".pth"):
+        from egom2p_tpu.compat.torch_convert import load_egom2p_pth
+        loaded = load_egom2p_pth(path, model)
+    else:
+        loaded = load_checkpoint(path)
+        if isinstance(loaded, dict) and "opt_state" in loaded:
+            loaded = loaded["params"]  # full TrainState -> flax variables
+
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    n_copied = 0
+    out = {}
+    for k, v in flat_new.items():
+        if k in flat_old and flat_old[k].shape == v.shape:
+            out[k] = flat_old[k]
+            n_copied += 1
+        else:
+            out[k] = v
+    print(f"warm start: copied {n_copied}/{len(flat_new)} tensors from {path}")
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, [out[k] for k, _ in
+                                                  jax.tree_util.tree_flatten_with_path(params)[0]])
 
 
 if __name__ == "__main__":
