@@ -460,7 +460,125 @@ class GenerationSampler:
             "decoder_attention_mask": np.zeros((B, max_len), dtype=np.int32),
         }
 
+    # ------------------------------------------------- multi-guided variant
+    def _multi_step_fn(self, target_mod: str, num_enc: int, k: int,
+                       n_cond: int, weights, temperature: float,
+                       top_k: float, top_p: float):
+        cache_key = ("multi", target_mod, num_enc, k, n_cond, tuple(weights),
+                     temperature, top_k, top_p)
+        if cache_key not in self._logits_fns:
+            model = self.model
+            w = jnp.asarray(list(weights), jnp.float32)
+
+            @jax.jit
+            def fn(params, mod_dict, ids_keep, key):
+                context, enc_mask = model.apply(
+                    params, mod_dict, num_enc, method=EgoM2P.forward_enc_context)
+                logits = model.apply(
+                    params, mod_dict, target_mod, context, enc_mask, ids_keep,
+                    method=EgoM2P.forward_dec_subset_logits)
+                B = logits.shape[0] // (n_cond + 1)
+                lu = logits[n_cond * B:]
+                # conjunction: l_uncond + sum_i w_i (l_cond_i - l_uncond)
+                # (reference: generate.py:719-721, arXiv 2206.01714)
+                mixed = lu
+                for i in range(n_cond):
+                    mixed = mixed + w[i] * (logits[i * B:(i + 1) * B] - lu)
+                return sample_tokens(mixed, key, temperature, top_k, top_p)
+
+            self._logits_fns[cache_key] = fn
+        return self._logits_fns[cache_key]
+
+    def generate_multi_guided(self, uncond_dict, cond_dicts, schedule,
+                              top_k: float = 0.0, top_p: float = 0.0,
+                              text_tokenizer=None, verbose: bool = False,
+                              seed: Optional[int] = None):
+        """Weighted multi-condition generation
+        (reference: generate.py:1170-1229).  `cond_dicts` each hold a subset
+        of conditioning modalities; schedule steps carry per-condition weight
+        lists in cfg_scale."""
+        uncond = {m: {k: np.array(v) for k, v in d.items()}
+                  for m, d in uncond_dict.items()}
+        conds = [{m: {k: np.array(v) for k, v in d.items()} for m, d in c.items()}
+                 for c in cond_dicts]
+        cur_target = schedule[0]["target_domain"]
+        for c in conds:
+            c[cur_target] = copy.deepcopy(uncond[cur_target])
+
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        for step, s in enumerate(schedule):
+            target_mod = s["target_domain"]
+            if cur_target != target_mod:
+                # finished modality becomes an extra condition
+                # (reference: generate.py:1192-1210)
+                for c in conds:
+                    del c[cur_target]
+                    c[target_mod] = copy.deepcopy(uncond[target_mod])
+                uncond[cur_target]["input_mask"][:] = True
+                new_cond = {cur_target: copy.deepcopy(uncond[cur_target]),
+                            target_mod: copy.deepcopy(uncond[target_mod])}
+                new_cond[cur_target]["input_mask"][:] = False
+                new_cond[cur_target]["target_mask"][:] = True
+                conds.append(new_cond)
+                cur_target = target_mod
+
+            rng = np.random.default_rng((seed or 0) + step)
+            key, sub = jax.random.split(key)
+            d = uncond[target_mod]
+            open_mask = ~d["target_mask"]
+            n_remaining = int(open_mask[0].sum())
+            if n_remaining == 0:
+                continue
+            k = min(s["num_tokens"], n_remaining)
+            ids_keep = self._select_positions(~open_mask, k, rng,
+                                              s["scheme"] == "roar")
+            # stack [cond_1..cond_n, uncond]; union of modality keys per dict
+            stacked = None
+            for c in conds + [uncond]:
+                filled = dict(c)
+                # pad missing mods in this cond with uncond's (fully masked)
+                for m in uncond:
+                    if m not in filled:
+                        masked = {kk: np.array(vv)
+                                  for kk, vv in uncond[m].items()}
+                        masked["input_mask"][:] = True
+                        filled[m] = masked
+                stacked = filled if stacked is None else self._stack_dicts(
+                    stacked, filled)
+            num_enc = _bucket(self._num_enc_tokens(stacked))
+            weights = list(np.atleast_1d(np.asarray(s["cfg_scale"], dtype=float)))
+            if len(weights) == 1:
+                weights = weights * len(conds)
+            while len(weights) < len(conds):  # generated-modality conditions
+                weights.append(weights[-1])
+            fn = self._multi_step_fn(target_mod, num_enc, k, len(conds),
+                                     weights[: len(conds)],
+                                     s["temperature"], top_k, top_p)
+            ids_dev = jnp.asarray(np.concatenate([ids_keep] * (len(conds) + 1)))
+            samples, _ = fn(self.params, self._to_device(stacked), ids_dev, sub)
+            B = ids_keep.shape[0]
+            samples = np.asarray(samples)[:B]
+            rows = np.arange(B)[:, None]
+            for dd in [uncond] + conds:
+                t = dd[target_mod]
+                t["tensor"][rows, ids_keep] = samples.astype(t["tensor"].dtype)
+                t["input_mask"][rows, ids_keep] = False
+                t["target_mask"][rows, ids_keep] = True
+        return uncond
+
     # ------------------------------------------------------------ public API
+    def generate_iter(self, mod_dict, schedule, **kwargs):
+        """Step-by-step generator variant (reference: generate.py:1100-1168)."""
+        mod_dict = {m: {k: np.array(v) for k, v in d.items()}
+                    for m, d in mod_dict.items()}
+        for step, s in enumerate(schedule):
+            mod_dict = self.generate(mod_dict, [s],
+                                     seed=(kwargs.get("seed", 0) or 0) + step,
+                                     top_k=kwargs.get("top_k", 0.0),
+                                     top_p=kwargs.get("top_p", 0.0),
+                                     text_tokenizer=kwargs.get("text_tokenizer"))
+            yield mod_dict
+
     def generate(self, mod_dict, schedule, top_k: float = 0.0,
                  top_p: float = 0.0, text_tokenizer=None, verbose: bool = False,
                  seed: Optional[int] = None):

@@ -278,8 +278,17 @@ class EgoM2P(nn.Module):
         tokens_k = jnp.where(mask_k[..., None], 0.0, tokens_k)
         emb_k = jnp.where(mask_k[..., None], 0.0, emb_k)
         ids_k = jnp.where(mask_k, 0, ids_k)
-        sa_mask = self.adapt_decoder_attention_mask(attn_k, mod_k)
+        all_img = all(info[e["mod"]]["type"] not in SEQ_TYPES for e in dec_embeds)
         mod_k = jnp.where(mask_k, -1, mod_k)
+        if (not self.config.decoder_causal_mask and self.config.decoder_sep_mask
+                and all_img):
+            # For image-type modalities the cumsum + separation mask reduces
+            # exactly to "attend within your own modality" -> flash-friendly
+            # segment mask instead of a materialized (B, M, M) tensor.
+            from egom2p_tpu.ops.attention import SegmentMask
+            sa_mask = SegmentMask(segments=mod_k)
+        else:
+            sa_mask = self.adapt_decoder_attention_mask(attn_k, mod_k)
         decoder_mask = mask_k[:, None, :]
         return tokens_k, emb_k, decoder_mask, ids_k, sa_mask, mod_k
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from egom2p_tpu.ops.attention import masked_attention
+from egom2p_tpu.ops.attention import SegmentMask, masked_attention
 
 
 class LayerNorm(nn.Module):
@@ -98,7 +98,7 @@ class Attention(nn.Module):
         if self.qk_norm:
             q = LayerNorm(use_bias=self.norm_bias, name="q_norm")(q)
             k = LayerNorm(use_bias=self.norm_bias, name="k_norm")(k)
-        if mask is not None and mask.ndim == 3:
+        if mask is not None and not isinstance(mask, SegmentMask) and mask.ndim == 3:
             mask = mask[:, None]  # add head dim
         out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
         return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(_merge_heads(out))
@@ -122,7 +122,7 @@ class CrossAttention(nn.Module):
         if self.qk_norm:
             q = LayerNorm(use_bias=self.norm_bias, name="q_norm")(q)
             k = LayerNorm(use_bias=self.norm_bias, name="k_norm")(k)
-        if mask is not None and mask.ndim == 3:
+        if mask is not None and not isinstance(mask, SegmentMask) and mask.ndim == 3:
             mask = mask[:, None]
         out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
         return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(_merge_heads(out))

@@ -12,12 +12,25 @@ signature (see egom2p_tpu/ops/flash_attention.py).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30  # large negative instead of finfo.min: safe under bf16->fp32 casts
+
+
+class SegmentMask(NamedTuple):
+    """Self-attention restricted to equal segment ids (B, N).
+
+    The EgoM2P decoder's training mask for image-type modalities reduces
+    exactly to this: with decoder_sep_mask=True the cumsum component is
+    subsumed by the modality separation (every token's budget window covers
+    its own contiguous modality block), so attention is "same modality only"
+    (reference semantics: egom2p_model.py:446-481 + masking.py:262-264).
+    Padding tokens carry a dedicated segment and are ignored downstream.
+    """
+    segments: jnp.ndarray  # (B, N) int32
 
 
 def masked_attention(
@@ -30,8 +43,17 @@ def masked_attention(
 ) -> jnp.ndarray:
     """Returns (B, H, N, hd).
 
-    Key-padding masks (and no-mask) route to the fused Pallas flash kernel on
-    TPU; structured (B, M, M) masks use the dense einsum path."""
+    Key-padding masks (and no-mask) and SegmentMask self-attention route to
+    the fused Pallas flash kernel on TPU; other structured (B, M, M) masks use
+    the dense einsum path."""
+    if isinstance(mask, SegmentMask):
+        from egom2p_tpu.ops.flash_attention import (segment_flash_attention,
+                                                    supports_flash)
+        if not softmax1 and supports_flash() and q.shape[2] * k.shape[2] >= 256 * 256:
+            return segment_flash_attention(q, k, v, mask.segments)
+        # dense fallback: blocked where segments differ
+        seg = mask.segments
+        mask = (seg[:, None, :] != seg[:, :, None])[:, None]
     if not softmax1:
         is_key_padding = mask is None or (
             mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1)

@@ -43,6 +43,38 @@ def supports_flash() -> bool:
         return False
 
 
+def segment_flash_attention(
+    q: jnp.ndarray,  # (B, H, N, hd)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segments: jnp.ndarray,  # (B, N) int32; attend only within equal ids
+    block: int = 512,
+) -> jnp.ndarray:
+    """Self-attention restricted to equal segment ids (flash kernel)."""
+    flash_attention, SegmentIds, BlockSizes = _flash_imports()
+    B, H, N, hd = q.shape
+    n_pad = -N % block
+    Np = N + n_pad
+    qp, kp, vp = (_pad_to(t, Np, 2) for t in (q, k, v))
+    seg = segments.astype(jnp.int32)
+    if n_pad:
+        # padded slots get a segment no real token uses
+        pad_seg = jnp.full((B, n_pad), jnp.iinfo(jnp.int32).max, jnp.int32)
+        seg = jnp.concatenate([seg, pad_seg], axis=1)
+    bs = BlockSizes(
+        block_q=min(block, Np), block_k_major=min(block, Np),
+        block_k=min(block, Np), block_b=1,
+        block_q_major_dkv=min(block, Np), block_k_major_dkv=min(block, Np),
+        block_k_dkv=min(block, Np), block_q_dkv=min(block, Np),
+        block_k_major_dq=min(block, Np), block_k_dq=min(block, Np),
+        block_q_dq=min(block, Np),
+    )
+    out = flash_attention(qp, kp, vp,
+                          segment_ids=SegmentIds(q=seg, kv=seg),
+                          sm_scale=hd ** -0.5, block_sizes=bs)
+    return out[:, :, :N].astype(q.dtype)
+
+
 def padding_flash_attention(
     q: jnp.ndarray,  # (B, H, N, hd)
     k: jnp.ndarray,  # (B, H, M, hd)

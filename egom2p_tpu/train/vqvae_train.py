@@ -28,6 +28,8 @@ class VQVAETrainState(NamedTuple):
     opt_state: optax.OptState
     vq_state: VQState
     step: jnp.ndarray
+    ema_params: Optional[dict] = None  # reference ModelEma
+                                       # (run_training_vqvae.py:715-724)
 
 
 def reconst_loss(pred, target, loss_fn: str, n_channels: int):
@@ -46,7 +48,8 @@ def make_vqvae_train_step(module: SeqAutoencoder, vq_cfg: VQConfig,
                           optimizer: optax.GradientTransformation,
                           loss_fn: str = "mse",
                           codebook_weight: float = 1.0,
-                          axis_name: Optional[str] = None):
+                          axis_name: Optional[str] = None,
+                          ema_decay: Optional[float] = None):
     """Build the jittable train step.  If `axis_name` is set the caller is
     expected to run it under shard_map/pmap with that mesh axis; codebook
     statistics are then psum-synced like the reference's distributed EMA."""
@@ -69,8 +72,14 @@ def make_vqvae_train_step(module: SeqAutoencoder, vq_cfg: VQConfig,
             grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                state.ema_params, new_params)
         new_state = VQVAETrainState(params=new_params, opt_state=new_opt,
-                                    vq_state=new_vq, step=state.step + 1)
+                                    vq_state=new_vq, step=state.step + 1,
+                                    ema_params=new_ema)
         # codebook usage % over this batch (reference: vq_utils.py:18-46)
         usage = jnp.bincount(tokens.reshape(-1), length=vq_cfg.codebook_size) > 0
         metrics = {"loss": loss, "reconst_loss": rec, "code_loss": commit,
@@ -80,6 +89,9 @@ def make_vqvae_train_step(module: SeqAutoencoder, vq_cfg: VQConfig,
     return train_step
 
 
-def init_train_state(params, optimizer, vq_state) -> VQVAETrainState:
+def init_train_state(params, optimizer, vq_state,
+                     use_ema: bool = False) -> VQVAETrainState:
     return VQVAETrainState(params=params, opt_state=optimizer.init(params),
-                           vq_state=vq_state, step=jnp.zeros((), jnp.int32))
+                           vq_state=vq_state, step=jnp.zeros((), jnp.int32),
+                           ema_params=(jax.tree_util.tree_map(jnp.array, params)
+                                       if use_ema else None))

@@ -302,7 +302,20 @@ def main(args):
                                       total=niter_per_ep):
             key, sub = jax.random.split(key)
             state, metrics = jstep(state, batch, sub)
+            prev_batch = batch
             batch = next(loader_it)  # overlap host loading with device step
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # dump the offending batch and abort
+                # (reference: run_training_egom2p.py:731-734)
+                dump = os.path.join(args.output_dir, "debug_mod_dict.npz")
+                os.makedirs(args.output_dir, exist_ok=True)
+                flat = {f"{m}_{k}": np.asarray(v)
+                        for m, d in prev_batch.items() for k, v in d.items()}
+                np.savez(dump, **flat)
+                print(f"Loss is {loss_val}, stopping training. Batch dumped "
+                      f"to {dump}")
+                raise SystemExit(1)
             logger.update(**{k: float(v) for k, v in metrics.items()})
             tokens_seen += tokens_per_sample * global_batch
             if wandb_logger:
