@@ -65,6 +65,11 @@ class CausalVideoTokenizer:
         self.compute_dtype = compute_dtype
         self._encode = jax.jit(lambda p, x: self.module.apply(
             p, x.astype(compute_dtype), method=CausalDiscreteVideoTokenizer.encode))
+        # uint8 fast path: ship 1/4 the bytes to the device and convert
+        # to [-1, 1] in-graph (reference converts on host, utils.py:253-272)
+        self._encode_u8 = jax.jit(lambda p, x: self.module.apply(
+            p, (x.astype(compute_dtype) / 127.5) - 1.0,
+            method=CausalDiscreteVideoTokenizer.encode))
         self._decode_code = jax.jit(lambda p, i: self.module.apply(
             p, i, method=CausalDiscreteVideoTokenizer.decode_code))
 
@@ -95,8 +100,7 @@ class CausalVideoTokenizer:
             padded, _ = pad_video_batch(
                 window, temporal_align=2 * self.cfg.temporal_compression,
                 spatial_align=2 * self.cfg.spatial_compression)
-            x = jnp.asarray(numpy2tensor(padded))
-            indices, _ = self.encode(x)
+            indices, _ = self._encode_u8(self.params, jnp.asarray(padded))
             out.append(np.asarray(indices))
         return np.concatenate(out, axis=1)
 

@@ -1,0 +1,102 @@
+"""Tar reader, mixture loader and shard-builder tests (host-side)."""
+import io
+import os
+import subprocess
+import sys
+import tarfile
+
+import numpy as np
+import pytest
+
+from egom2p_tpu.data.tar_reader import (braceexpand, iter_tar_samples,
+                                        multi_tarfile_samples, shard_split,
+                                        shuffled)
+
+
+def test_braceexpand():
+    assert braceexpand("shard-{000..002}.tar") == [
+        "shard-000.tar", "shard-001.tar", "shard-002.tar"]
+    out = braceexpand("[rgb,depth]/s-{00..01}.tar")
+    assert out == ["rgb/s-00.tar", "rgb/s-01.tar",
+                   "depth/s-00.tar", "depth/s-01.tar"]
+    assert braceexpand("plain.tar") == ["plain.tar"]
+
+
+def _write_tar(path, keys, shape=(4,), seed=0):
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tar:
+        for k in keys:
+            buf = io.BytesIO()
+            np.savez(buf, rng.integers(0, 100, size=shape).astype(np.int32))
+            data = buf.getvalue()
+            info = tarfile.TarInfo(name=f"{k}.npz")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+
+def test_aligned_multi_tar(tmp_path):
+    keys = [f"clip{i:03d}" for i in range(5)]
+    _write_tar(tmp_path / "rgb.tar", keys, seed=1)
+    _write_tar(tmp_path / "cam.tar", keys, seed=2)
+    samples = list(multi_tarfile_samples(
+        {"tok_rgb": [str(tmp_path / "rgb.tar")],
+         "tok_cam": [str(tmp_path / "cam.tar")]}))
+    assert len(samples) == 5
+    assert set(samples[0]) == {"__key__", "tok_rgb", "tok_cam"}
+    assert samples[0]["__key__"] == "clip000"
+    assert samples[0]["tok_rgb"].shape == (4,)
+
+
+def test_misaligned_tars_skipped(tmp_path):
+    _write_tar(tmp_path / "rgb.tar", ["a", "b"])
+    _write_tar(tmp_path / "cam.tar", ["a", "c"])
+    # warn handler skips the bad shard entirely
+    samples = list(multi_tarfile_samples(
+        {"r": [str(tmp_path / "rgb.tar")], "c": [str(tmp_path / "cam.tar")]},
+        handler="warn"))
+    assert samples == [] or all(s["__key__"] == "a" for s in samples)
+    with pytest.raises(ValueError):
+        list(multi_tarfile_samples(
+            {"r": [str(tmp_path / "rgb.tar")],
+             "c": [str(tmp_path / "cam.tar")]}, handler="raise"))
+
+
+def test_shard_split_and_shuffle():
+    shards = list(range(10))
+    a = shard_split(shards, 0, 2)
+    b = shard_split(shards, 1, 2)
+    assert sorted(a + b) == shards and not set(a) & set(b)
+    import random
+    out = list(shuffled(iter(range(100)), 16, random.Random(0)))
+    assert sorted(out) == list(range(100))
+    assert out != list(range(100))
+
+
+def test_prepare_aligned_shards_cli(tmp_path):
+    for mod in ("rgb", "cam"):
+        d = tmp_path / mod
+        d.mkdir()
+        for i in range(7):
+            np.save(d / f"clip{i:03d}.npy", np.arange(3))
+    # one extra unaligned key
+    np.save(tmp_path / "rgb" / "extra.npy", np.arange(3))
+    out = tmp_path / "shards"
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "prepare_aligned_shards.py"),
+         "--modality", f"rgb={tmp_path}/rgb", "--modality", f"cam={tmp_path}/cam",
+         "--output-dir", str(out), "--shard-size", "4"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for mod in ("rgb", "cam"):
+        tars = sorted((out / mod).glob("shard-*.tar"))
+        assert len(tars) == 2  # 7 keys / shard-size 4
+        with tarfile.open(tars[0]) as t:
+            assert len(t.getnames()) == 4
+    # alignment: same member keys in the same order
+    import tarfile as tf
+    with tf.open(out / "rgb" / "shard-000000.tar") as a, \
+         tf.open(out / "cam" / "shard-000000.tar") as b:
+        ka = [n.split(".")[0] for n in a.getnames()]
+        kb = [n.split(".")[0] for n in b.getnames()]
+        assert ka == kb
