@@ -118,7 +118,9 @@ class EgoM2P(nn.Module):
         dpr_enc = np.linspace(0, cfg.drop_path_rate_encoder, cfg.encoder_depth)
         dpr_dec = np.linspace(0, cfg.drop_path_rate_decoder, cfg.decoder_depth)
         if cfg.use_act_checkpoint:
-            # deterministic flag must stay static under remat
+            # deterministic flag must stay static under remat.  Full remat:
+            # selective policies (dots_saveable) and no-remat both exceed what
+            # this environment's TPU compiler service can handle at batch 8.
             BlockCls = nn.remat(Block, static_argnums=(3,))
             DecBlockCls = nn.remat(DecoderBlock, static_argnums=(5,))
         else:
@@ -320,7 +322,7 @@ class EgoM2P(nn.Module):
         return self.decoder_norm(y)
 
     # ------------------------------------------------------------------ loss
-    def _chunked_masked_ce(self, y, mod, target_ids, weights, chunk=512):
+    def _chunked_masked_ce(self, y, mod, target_ids, weights, chunk=2048):
         """Masked cross-entropy against modality `mod`'s output head.
 
         Computes sum(CE * w) and sum(w) with (chunk, V) logits tiles so the
