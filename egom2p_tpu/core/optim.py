@@ -48,3 +48,37 @@ def create_optimizer(params, lr_schedule, weight_decay: float = 0.05,
         txs.append(optax.add_decayed_weights(weight_decay, mask=mask))
     txs.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*txs)
+
+
+def shared_params_mask(params):
+    """True for the shared transformer trunk (encoder/decoder blocks, norms,
+    context projection) -- the set the reference freezes during warm-start
+    phases (reference: egom2p_model.py:805-815, freeze_shared_params)."""
+    import jax
+    import re
+
+    def is_shared(path, _):
+        name = str(path[1].key) if len(path) > 1 else ""
+        return bool(re.fullmatch(
+            r"(encoder|decoder)_\d+|encoder_norm|decoder_norm|"
+            r"decoder_proj_context", name))
+
+    return jax.tree_util.tree_map_with_path(is_shared, params)
+
+
+def freeze_until(frozen_steps: int, frozen_mask) -> optax.GradientTransformation:
+    """Zero the updates of masked params while step < frozen_steps
+    (reference frozen-model phases: run_training_egom2p.py:686-693)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        keep = (state.count >= frozen_steps).astype(jnp.float32)
+        new = jax.tree_util.tree_map(
+            lambda u, frozen: u * keep if frozen else u, updates, frozen_mask)
+        return new, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -64,3 +64,59 @@ class FSQ:
         codes = self.quantize(z)
         indices = self.codes_to_indices(jax.lax.stop_gradient(codes))
         return indices, codes
+
+
+class ResidualFSQ:
+    """Residual FSQ stack (reference: quantizers.py:36-68, arXiv 2107.03312
+    Algorithm 1): each stage quantizes the previous residual."""
+
+    def __init__(self, levels: Sequence[int] = (8, 8, 8, 5, 5, 5),
+                 num_quantizers: int = 4):
+        self.layers = [FSQ(levels) for _ in range(num_quantizers)]
+        self.num_quantizers = num_quantizers
+
+    def __call__(self, z: jnp.ndarray):
+        residual = z.astype(jnp.float32)
+        out = jnp.zeros_like(residual)
+        indices = []
+        for layer in self.layers:
+            idx, codes = layer(residual)
+            indices.append(idx)
+            residual = residual - jax.lax.stop_gradient(codes)
+            out = out + codes
+        return jnp.stack(indices, axis=1), out
+
+    def indices_to_codes(self, indices_stack: jnp.ndarray) -> jnp.ndarray:
+        """indices_stack: (B, num_quantizers, ...)."""
+        out = 0
+        for i, layer in enumerate(self.layers):
+            out = out + layer.indices_to_codes(indices_stack[:, i])
+        return out
+
+
+class LFQ:
+    """Lookup-free (sign) quantization (reference: quantizers.py:392-534,
+    MagViT2): each latent dim quantizes to +-1; the index is the sign
+    bit-pattern.  Entropy/commit losses are the caller's concern."""
+
+    def __init__(self, codebook_dim: int):
+        self.dim = codebook_dim
+        self.codebook_size = 2 ** codebook_dim
+        self.basis = (2 ** np.arange(codebook_dim)).astype(np.int32)
+
+    def quantize(self, z: jnp.ndarray) -> jnp.ndarray:
+        q = jnp.where(z > 0, 1.0, -1.0)
+        return z + jax.lax.stop_gradient(q - z)
+
+    def codes_to_indices(self, codes: jnp.ndarray) -> jnp.ndarray:
+        bits = (codes > 0).astype(jnp.int32)
+        return jnp.sum(bits * jnp.asarray(self.basis), axis=-1)
+
+    def indices_to_codes(self, indices: jnp.ndarray) -> jnp.ndarray:
+        bits = (indices[..., None] // jnp.asarray(self.basis)) % 2
+        return bits.astype(jnp.float32) * 2.0 - 1.0
+
+    def __call__(self, z: jnp.ndarray):
+        codes = self.quantize(z.astype(jnp.float32))
+        indices = self.codes_to_indices(jax.lax.stop_gradient(codes))
+        return indices, codes

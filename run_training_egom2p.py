@@ -77,6 +77,9 @@ def get_args(argv=None):
                         "TransferMasking finetuning (reference: masking.py:567)")
     p.add_argument("--target_domains", default=None)
     p.add_argument("--eval_iters", type=int, default=10)
+    p.add_argument("--frozen_model_epochs", type=int, default=0,
+                   help="freeze the shared transformer trunk for the first N "
+                        "epochs (reference: run_training_egom2p.py:686-693)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
     p.add_argument("--scaled_modalities", action="store_true",
@@ -141,13 +144,14 @@ def setup_data(args, mesh):
                                      args.num_target_tokens,
                                      sampling_weights=[1.0] * 4, seed=args.seed)
         rng = np.random.default_rng(args.seed)
+        # fixed pool so short smoke runs can demonstrably memorize
+        pool = [{m: rng.integers(0, info[m]["vocab_size"],
+                                 size=info[m]["max_tokens"]).astype(np.int32)
+                 for m in mods} for _ in range(256)]
 
         def synth():
             while True:
-                yield {m: rng.integers(
-                    0, info[m]["vocab_size"],
-                    size=info[m]["max_tokens"]).astype(np.int32)
-                    for m in mods}
+                yield from pool
 
         streams = [DatasetStream("synthetic", synth, masking)]
     else:
@@ -270,6 +274,13 @@ def main(args):
                                  weight_decay=args.weight_decay,
                                  betas=tuple(args.opt_betas),
                                  clip_grad=args.clip_grad)
+    if args.frozen_model_epochs > 0:
+        import optax
+        from egom2p_tpu.core.optim import freeze_until, shared_params_mask
+        optimizer = optax.chain(
+            optimizer,
+            freeze_until(args.frozen_model_epochs * niter_per_ep,
+                         shared_params_mask(params)))
     state = init_train_state(params, optimizer)
 
     start_epoch = 0

@@ -1,0 +1,85 @@
+"""Tests for the long-tail components: folder dataset, ResidualFSQ/LFQ,
+parameter freezing."""
+import numpy as np
+import pytest
+
+
+def test_folder_dataset(tmp_path):
+    from egom2p_tpu.data.folder_dataset import MultiModalFolderDataset
+    for mod in ("rgb", "cam"):
+        (tmp_path / mod).mkdir()
+        for i in range(4):
+            np.save(tmp_path / mod / f"k{i}.npy", np.full(3, i))
+    np.save(tmp_path / "rgb" / "extra.npy", np.zeros(3))
+    ds = MultiModalFolderDataset({"tok_rgb": str(tmp_path / "rgb"),
+                                  "tok_cam": str(tmp_path / "cam")})
+    assert len(ds) == 4
+    s = ds[1]
+    assert s["__key__"] == "k1"
+    assert np.array_equal(s["tok_rgb"], s["tok_cam"])
+
+
+def test_residual_fsq_roundtrip():
+    import jax.numpy as jnp
+    from egom2p_tpu.ops.fsq import ResidualFSQ
+    q = ResidualFSQ((8, 8, 8, 5, 5, 5), num_quantizers=3)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 10, 6)),
+                    jnp.float32)
+    idx, codes = q(z)
+    assert idx.shape == (2, 3, 10)
+    rec = q.indices_to_codes(idx)
+    assert np.allclose(np.asarray(rec), np.asarray(codes), atol=1e-5)
+    # residual refinement: 3 stages approximate better than 1
+    from egom2p_tpu.ops.fsq import FSQ
+    single = FSQ((8, 8, 8, 5, 5, 5))(z)[1]
+    err3 = float(np.abs(np.asarray(codes) - np.asarray(z)).mean())
+    err1 = float(np.abs(np.asarray(single) - np.asarray(z)).mean())
+    assert err3 < err1
+
+
+def test_lfq_roundtrip():
+    import jax.numpy as jnp
+    from egom2p_tpu.ops.fsq import LFQ
+    q = LFQ(10)
+    assert q.codebook_size == 1024
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(4, 10)), jnp.float32)
+    idx, codes = q(z)
+    assert np.array_equal(np.asarray(codes), np.sign(np.asarray(z)))
+    rec = q.indices_to_codes(idx)
+    assert np.array_equal(np.asarray(rec), np.asarray(codes))
+
+
+def test_freeze_until():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from egom2p_tpu.core.optim import freeze_until
+    params = {"trunk": jnp.ones(3), "emb": jnp.ones(3)}
+    mask = {"trunk": True, "emb": False}
+    tx = optax.chain(optax.sgd(1.0), freeze_until(2, mask))
+    state = tx.init(params)
+    g = {"trunk": jnp.ones(3), "emb": jnp.ones(3)}
+    for step in range(3):
+        updates, state = tx.update(g, state, params)
+        if step < 2:
+            assert float(jnp.abs(updates["trunk"]).max()) == 0.0
+        else:
+            assert float(jnp.abs(updates["trunk"]).max()) > 0.0
+        assert float(jnp.abs(updates["emb"]).max()) > 0.0
+
+
+def test_shared_params_mask():
+    import jax
+    from egom2p_tpu.core.optim import shared_params_mask
+    from egom2p_tpu.models.egom2p import create_model
+    from tests.test_model import MODALITY_INFO, MODS4, make_mod_dict
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias", MODS4, MODS4,
+                         modality_info=MODALITY_INFO)
+    md = make_mod_dict(np.random.default_rng(0), batch=1, n_in=8, n_tgt=8)
+    params = model.init(jax.random.PRNGKey(0), md, 8, 8)
+    mask = shared_params_mask(params)
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    frozen = [p for p, v in flat if v]
+    unfrozen = [p for p, v in flat if not v]
+    assert any("encoder_0" in str(p) for p in frozen)
+    assert any("mod_emb" in str(p) or "embeddings" in str(p) for p in unfrozen)
