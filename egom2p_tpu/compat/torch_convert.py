@@ -238,10 +238,11 @@ def _cosmos_torch_key(path: Tuple[str, ...]) -> str:
         if m:
             out.append(f"{m.group(1)}.{m.group(2)}.{m.group(3)}")
             continue
-        m = re.fullmatch(r"mid_attn_1(_[st])", p)
+        m = re.fullmatch(r"mid_attn_1(_[st])?", p)
         if m:
             out.append("mid.attn_1")
-            out.append(_COSMOS_ATTN_SUFFIX[m.group(1)])
+            if m.group(1):  # factorized: spatial/temporal Sequential slot
+                out.append(_COSMOS_ATTN_SUFFIX[m.group(1)])
             continue
         m = re.fullmatch(r"mid_(block_\d+)", p)
         if m:

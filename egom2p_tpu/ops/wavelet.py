@@ -86,6 +86,62 @@ def unpatch3d_haar(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x[:, patch_size - 1:]
 
 
+def dwt2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Spatial-only Haar DWT (per frame): (B, T, H, W, C) ->
+    (B, T, H/2, W/2, 4*C), subband-major [ll, lh, hl, hh]
+    (reference Patcher applied through time2batch, patching.py:39-100)."""
+    # reference 2D path convolves W first, then H, and cats W-major
+    # [ll, lh, hl, hh] (patching.py:84-92); kernels compose to per-axis means
+    lw, hw = _axis_dwt(x, 3)
+    bands = []
+    for wb in (lw, hw):
+        lh_, hh_ = _axis_dwt(wb, 2)
+        bands.extend([lh_, hh_])
+    return jnp.concatenate(bands, axis=-1)
+
+
+def idwt2d(x: jnp.ndarray) -> jnp.ndarray:
+    c = x.shape[-1] // 4
+    bands = [x[..., i * c:(i + 1) * c] for i in range(4)]
+    w_parts = [_axis_idwt(bands[0], bands[1], 2),
+               _axis_idwt(bands[2], bands[3], 2)]
+    return _axis_idwt(w_parts[0], w_parts[1], 3)
+
+
+def patch2d_haar(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Per-frame spatial Haar patching (EncoderBase's patcher,
+    reference: layers3d.py:558-562)."""
+    levels = int(patch_size).bit_length() - 1
+    for _ in range(levels):
+        x = dwt2d(x)
+    return x
+
+
+def unpatch2d_haar(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    levels = int(patch_size).bit_length() - 1
+    for _ in range(levels):
+        x = idwt2d(x)
+    return x
+
+
+def patch2d_rearrange(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Per-frame space-to-depth (reference: patching.py:102-109)."""
+    b, t, h, w, c = x.shape
+    p = patch_size
+    x = x.reshape(b, t, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 2, 4, 6, 3, 5)
+    return x.reshape(b, t, h // p, w // p, c * p * p)
+
+
+def unpatch2d_rearrange(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    b, t, h, w, cp = x.shape
+    p = patch_size
+    c = cp // (p * p)
+    x = x.reshape(b, t, h, w, c, p, p)
+    x = x.transpose(0, 1, 2, 5, 3, 6, 4)
+    return x.reshape(b, t, h * p, w * p, c)
+
+
 def patch3d_rearrange(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """patch_method='rearrange' variant (reference: patching.py:168-178)."""
     first = jnp.repeat(x[:, :1], patch_size, axis=1)

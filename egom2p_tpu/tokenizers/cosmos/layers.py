@@ -169,6 +169,56 @@ class CausalResnetBlockFactorized3d(nn.Module):
         return x + h
 
 
+class CausalResnetBlock3d(nn.Module):
+    """Non-factorized resnet block with full 3x3x3 causal convs
+    (reference: layers3d.py:263-303)."""
+    out_channels: int
+    num_groups: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_channels = x.shape[-1]
+        h = CausalNormalize(self.num_groups, name="norm1")(x)
+        h = nonlinearity(h)
+        h = CausalConv3d(self.out_channels, (3, 3, 3), padding=1, name="conv1")(h)
+        h = CausalNormalize(self.num_groups, name="norm2")(h)
+        h = nonlinearity(h)
+        if self.dropout > 0 and not deterministic:
+            h = nn.Dropout(self.dropout, deterministic=False)(h)
+        h = CausalConv3d(self.out_channels, (3, 3, 3), padding=1, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = CausalConv3d(self.out_channels, (1, 1, 1), padding=0,
+                             name="nin_shortcut")(x)
+        return x + h
+
+
+class CausalDownsample3d(nn.Module):
+    """Strided 3x3x3 causal conv downsample, spatial+temporal
+    (reference: layers3d.py:124-141)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        x = jnp.concatenate([x[:, :1], x], axis=1)  # replication_pad
+        return CausalConv3d(c, (3, 3, 3), stride=2, time_stride=2, padding=0,
+                            name="conv")(x)
+
+
+class CausalUpsample3d(nn.Module):
+    """Nearest upsample + 3x3x3 causal conv (reference: layers3d.py:104-121)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        time_factor = 2 if x.shape[1] > 1 else 1
+        x = jnp.repeat(x, time_factor, axis=1)
+        x = CausalConv3d(c, (3, 3, 3), stride=1, padding=1, name="conv")(x)
+        return x[:, time_factor - 1:]
+
+
 class CausalAttnBlock(nn.Module):
     """Spatial self-attention per frame (time folded into batch)
     (reference: layers3d.py:375-421)."""

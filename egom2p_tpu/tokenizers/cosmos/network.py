@@ -20,15 +20,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from egom2p_tpu.ops.fsq import FSQ
-from egom2p_tpu.ops.wavelet import (patch3d_haar, patch3d_rearrange,
+from egom2p_tpu.ops.wavelet import (patch2d_haar, patch2d_rearrange,
+                                    patch3d_haar, patch3d_rearrange,
+                                    unpatch2d_haar, unpatch2d_rearrange,
                                     unpatch3d_haar, unpatch3d_rearrange)
 from egom2p_tpu.tokenizers.cosmos.layers import (CausalAttnBlock,
                                                  CausalConv3d,
+                                                 CausalDownsample3d,
                                                  CausalHybridDownsample3d,
                                                  CausalHybridUpsample3d,
                                                  CausalNormalize,
+                                                 CausalResnetBlock3d,
                                                  CausalResnetBlockFactorized3d,
                                                  CausalTemporalAttnBlock,
+                                                 CausalUpsample3d,
                                                  nonlinearity)
 
 
@@ -54,6 +59,8 @@ class DiscreteVideoConfig:
     temporal_compression: int = 4
     embedding_dim: int = 6
     levels: Tuple[int, ...] = (8, 8, 8, 5, 5, 5)
+    encoder: str = "FACTORIZED"  # or "BASE" (reference: Encoder3DType)
+    decoder: str = "FACTORIZED"
 
 
 DV4x8x8_CONFIG = DiscreteVideoConfig()
@@ -177,6 +184,93 @@ class DecoderFactorized(nn.Module):
         return unpatch3d_rearrange(h, cfg.patch_size)
 
 
+class EncoderBase(nn.Module):
+    """Non-factorized MagViT2 encoder: spatial 2D patcher, full 3x3x3 resnet
+    blocks, strided spatio-temporal downsamples + final temporal avg-pool
+    (reference: layers3d.py:476-601)."""
+    cfg: DiscreteVideoConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        num_resolutions = len(cfg.channels_mult)
+        ng = cfg.num_groups
+        if cfg.patch_method == "haar":
+            x = patch2d_haar(x, cfg.patch_size)
+        else:
+            x = patch2d_rearrange(x, cfg.patch_size)
+
+        h = CausalConv3d(cfg.channels, (3, 3, 3), padding=1, name="conv_in")(x)
+        curr_res = cfg.resolution // cfg.patch_size
+        for i_level in range(num_resolutions):
+            block_out = cfg.channels * cfg.channels_mult[i_level]
+            for i_block in range(cfg.num_res_blocks):
+                h = CausalResnetBlock3d(block_out, num_groups=ng,
+                                        dropout=cfg.dropout,
+                                        name=f"down_{i_level}_block_{i_block}")(h)
+                if curr_res in cfg.attn_resolutions:
+                    h = CausalAttnBlock(ng, name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level != num_resolutions - 1:
+                h = CausalDownsample3d(name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+            else:
+                # final temporal avg-pool downsample (layers3d.py:578-589)
+                time_factor = 2 if h.shape[1] > 1 else 1
+                h = jnp.concatenate([h[:, :1], h], axis=1)
+                h = nn.avg_pool(h, (time_factor, 1, 1), strides=(2, 1, 1),
+                                padding="VALID")
+
+        block_in = cfg.channels * cfg.channels_mult[-1]
+        h = CausalResnetBlock3d(block_in, num_groups=ng, dropout=cfg.dropout,
+                                name="mid_block_1")(h)
+        h = CausalAttnBlock(ng, name="mid_attn_1")(h)
+        h = CausalResnetBlock3d(block_in, num_groups=ng, dropout=cfg.dropout,
+                                name="mid_block_2")(h)
+        h = CausalNormalize(ng, name="norm_out")(h)
+        h = nonlinearity(h)
+        return CausalConv3d(cfg.z_factor * cfg.z_channels, (3, 3, 3),
+                            padding=1, name="conv_out")(h)
+
+
+class DecoderBase(nn.Module):
+    """(reference: layers3d.py:604-728)"""
+    cfg: DiscreteVideoConfig
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.cfg
+        num_resolutions = len(cfg.channels_mult)
+        ng = cfg.num_groups
+        block_in = cfg.channels * cfg.channels_mult[-1]
+        h = CausalConv3d(block_in, (3, 3, 3), padding=1, name="conv_in")(z)
+        h = CausalResnetBlock3d(block_in, num_groups=ng, dropout=cfg.dropout,
+                                name="mid_block_1")(h)
+        h = CausalAttnBlock(ng, name="mid_attn_1")(h)
+        h = CausalResnetBlock3d(block_in, num_groups=ng, dropout=cfg.dropout,
+                                name="mid_block_2")(h)
+
+        for i_level in reversed(range(num_resolutions)):
+            block_out = cfg.channels * cfg.channels_mult[i_level]
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = CausalResnetBlock3d(block_out, num_groups=ng,
+                                        dropout=cfg.dropout,
+                                        name=f"up_{i_level}_block_{i_block}")(h)
+            if i_level != 0:
+                h = CausalUpsample3d(name=f"up_{i_level}_upsample")(h)
+            else:
+                # final temporal repeat upsample (layers3d.py:716-722)
+                time_factor = 2 if h.shape[1] > 1 else 1
+                h = jnp.repeat(h, time_factor, axis=1)[:, time_factor - 1:]
+
+        h = CausalNormalize(ng, name="norm_out")(h)
+        h = nonlinearity(h)
+        out_ch = cfg.out_channels * cfg.patch_size ** 2
+        h = CausalConv3d(out_ch, (3, 3, 3), padding=1, name="conv_out")(h)
+        if cfg.patch_method == "haar":
+            return unpatch2d_haar(h, cfg.patch_size)
+        return unpatch2d_rearrange(h, cfg.patch_size)
+
+
 class CausalDiscreteVideoTokenizer(nn.Module):
     """encoder -> quant_conv -> FSQ -> post_quant_conv -> decoder
     (reference: networks/discrete_video.py:33-145)."""
@@ -184,8 +278,10 @@ class CausalDiscreteVideoTokenizer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.encoder = EncoderFactorized(cfg)
-        self.decoder = DecoderFactorized(cfg)
+        enc_cls = {"FACTORIZED": EncoderFactorized, "BASE": EncoderBase}
+        dec_cls = {"FACTORIZED": DecoderFactorized, "BASE": DecoderBase}
+        self.encoder = enc_cls[cfg.encoder](cfg)
+        self.decoder = dec_cls[cfg.decoder](cfg)
         self.quant_conv = CausalConv3d(cfg.embedding_dim, (1, 1, 1), padding=0)
         self.post_quant_conv = CausalConv3d(cfg.z_channels, (1, 1, 1), padding=0)
         self.quantizer = FSQ(cfg.levels)

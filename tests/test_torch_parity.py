@@ -326,3 +326,53 @@ def test_egom2p_loss_parity(egom2p_pair):
     for m in t_mod_loss:
         assert abs(float(j_mod_loss[m]) - float(t_mod_loss[m])) < 5e-3, (
             m, float(j_mod_loss[m]), float(t_mod_loss[m]))
+
+
+# ===================================================== Cosmos BASE variant
+def test_cosmos_base_parity():
+    """Non-factorized (BASE) encoder/decoder parity vs the reference."""
+    from cosmos_tokenizer.networks.discrete_video import (
+        CausalDiscreteVideoTokenizer as TorchDV)
+    from egom2p_tpu.tokenizers.cosmos.network import (
+        CausalDiscreteVideoTokenizer as JaxDV, DiscreteVideoConfig)
+    from egom2p_tpu.compat.torch_convert import convert_cosmos_state_dict
+
+    kwargs = dict(attn_resolutions=[32], channels=16, channels_mult=[1, 2, 2],
+                  dropout=0.0, in_channels=3, num_res_blocks=1, out_channels=3,
+                  resolution=1024, patch_size=4, patch_method="haar",
+                  z_factor=1, num_groups=4, legacy_mode=False,
+                  quantizer="FSQ", embedding_dim=6, levels=[8, 8, 8, 5, 5, 5],
+                  encoder="BASE", decoder="BASE", name="DV")
+    torch.manual_seed(0)
+    tmodel = TorchDV(z_channels=8, **kwargs).eval()
+    tmodel.quantizer.dtype = torch.float32
+
+    cfg = DiscreteVideoConfig(channels=16, channels_mult=(1, 2, 2),
+                              num_res_blocks=1, z_channels=8, num_groups=4,
+                              encoder="BASE", decoder="BASE")
+    jmodel = JaxDV(cfg)
+    x0 = jnp.zeros((1, 9, 64, 64, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: jmodel.init(k, x0), jax.random.PRNGKey(0))
+    params = convert_cosmos_state_dict(tmodel.state_dict(), shapes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, size=(1, 9, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_idx, t_codes, _ = tmodel.encode(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    j_idx, j_codes = jmodel.apply(params, jnp.asarray(x),
+                                  method=type(jmodel).encode)
+    t_codes = t_codes.float().numpy().transpose(0, 2, 3, 4, 1)
+    assert j_idx.shape == tuple(t_idx.shape)
+    match = (np.asarray(j_idx) == t_idx.numpy()).mean()
+    assert match > 0.99, f"token match {match}"
+    assert np.abs(np.asarray(j_codes, dtype=np.float32) - t_codes).max() < 2e-3
+
+    idx = rng.integers(0, 64000, size=tuple(t_idx.shape)).astype(np.int32)
+    with torch.no_grad():
+        t_out = tmodel.decode_code(torch.from_numpy(idx).long())
+    j_out = jmodel.apply(params, jnp.asarray(idx),
+                         method=type(jmodel).decode_code)
+    t_out = t_out.float().numpy().transpose(0, 2, 3, 4, 1)
+    assert np.abs(np.asarray(j_out, dtype=np.float32) - t_out).max() < 5e-3
