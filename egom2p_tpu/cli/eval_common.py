@@ -58,7 +58,19 @@ def build_argparser(task: str) -> argparse.ArgumentParser:
 
 
 def load_main_model(args):
-    model = create_model(args.model, in_domains=MODS4, out_domains=MODS4)
+    model_name, in_domains, out_domains = args.model, MODS4, MODS4
+    if args.ckpt.endswith(".pth") and os.path.exists(args.ckpt):
+        # the reference embeds the argparse namespace in the checkpoint and
+        # eval scripts rebuild the model from it
+        from egom2p_tpu.compat.torch_convert import read_pth_args
+        ck_args = read_pth_args(args.ckpt)
+        if ck_args is not None:
+            model_name = getattr(ck_args, "model", model_name)
+            in_domains = tuple(sorted(getattr(ck_args, "in_domains", MODS4)))
+            out_domains = tuple(sorted(getattr(ck_args, "out_domains", MODS4)))
+            print(f"model config from checkpoint args: {model_name}")
+    model = create_model(model_name, in_domains=in_domains,
+                         out_domains=out_domains)
     if args.smoke or not os.path.exists(args.ckpt):
         if not args.smoke:
             print(f"[warn] {args.ckpt} not found -> random weights "

@@ -126,6 +126,15 @@ def convert_egom2p_state_dict(sd: Dict, flax_params: Dict,
     return {"params": _unflatten(out)}
 
 
+def read_pth_args(path: str):
+    """The reference pickles the full argparse namespace inside .pth
+    checkpoints (reference: checkpoint.py:100-105); eval scripts rebuild the
+    model from it (eval_model_rgb2cam.py:33-35)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("args")
+
+
 def load_egom2p_pth(path: str, model) -> Dict:
     import jax
     import jax.numpy as jnp
