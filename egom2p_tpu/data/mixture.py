@@ -87,6 +87,9 @@ class MixtureLoader:
                 for k in ("tensor", "input_mask", "target_mask",
                           "decoder_attention_mask")
             }
+            # shards may store tokens as narrow ints (reference converts
+            # int16 -> int64 on load, unified_datasets.py:218-222)
+            batch[mod]["tensor"] = batch[mod]["tensor"].astype(np.int32)
         return batch
 
     def __iter__(self) -> Iterator[Dict]:

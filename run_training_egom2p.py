@@ -181,8 +181,9 @@ def setup_data(args, mesh):
                 # modality key: match tok_<name> by path component
                 mod_key = next((k for k, v in mod_info.items()
                                 if v.get("path") == mp), mp or name)
+                import jax as _jax
                 per_mod[mod_key] = shard_split(
-                    expanded, 0, 1)  # single-host for now
+                    expanded, _jax.process_index(), _jax.process_count())
             n_rep = dcfg.get("wds_n_repeats", 1)
             buf = dcfg.get("wds_shuffle_buffer_tar", 1000)
             pyr = pyrandom.Random(args.seed)

@@ -83,3 +83,41 @@ def test_dp_grads_match_single_device():
     b = jax.tree_util.tree_leaves(st_plain.params)
     for x, y in zip(a, b):
         assert np.abs(np.asarray(x) - np.asarray(y)).max() < 3e-4
+
+
+def test_vqvae_codebook_sync_shard_map():
+    """Distributed VQ codebook EMA: shard_map + psum over the data axis must
+    match the single-device update on the concatenated batch (the reference's
+    all_reduce'd EMA, quantize_lucid.py:91-135)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from egom2p_tpu.ops.vq import VQConfig, init_vq_state, vq_forward
+
+    cfg = VQConfig(codebook_size=16, dim=4, decay=0.9,
+                   threshold_ema_dead_code=0.0, use_cosine_sim=True)
+    state = init_vq_state(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 6, 4)),
+                    jnp.float32)
+
+    # single-device reference update
+    _, _, _, ref_state = vq_forward(cfg, state, x, training=True, rng=None)
+
+    mesh = make_mesh()
+
+    def local_step(state, xs):
+        _, _, _, new_state = vq_forward(cfg, state, xs, training=True,
+                                        rng=None, axis_name="data")
+        return new_state
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(), state),
+                  P(("replica", "data"))),
+        out_specs=jax.tree_util.tree_map(lambda _: P(), state),
+        check_rep=False)
+    sh_state = sharded(state, x)
+    assert np.allclose(np.asarray(ref_state.embed), np.asarray(sh_state.embed),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(ref_state.cluster_size),
+                       np.asarray(sh_state.cluster_size), atol=1e-5)
