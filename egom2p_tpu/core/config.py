@@ -86,3 +86,18 @@ def setup_sampling_mod_info(dataset_config: Dict, modality_info: Dict,
             if modality_info[m]["type"] in ("seq", "seq_emb", "seq_token"):
                 mod_info[m]["keep"] = mixture[m]["keep"]
     return mod_info, sampling_weights
+
+
+def setup_run_name(args) -> None:
+    """Derive run name / output dir from the config path when set to 'auto'
+    (reference: egom2p/utils/run_name.py:14-27)."""
+    if getattr(args, "run_name", None) == "auto":
+        if args.config:
+            base = os.path.splitext(os.path.basename(args.config))[0]
+        else:
+            base = getattr(args, "model", "run")
+        args.run_name = base
+    if getattr(args, "output_dir", "").endswith("auto"):
+        args.output_dir = args.output_dir[: -len("auto")] + args.run_name
+    if getattr(args, "wandb_run_name", None) == "auto":
+        args.wandb_run_name = args.run_name

@@ -202,6 +202,16 @@ def setup_data(args, mesh):
 
 
 def main(args):
+    import resource
+    # many-shard tar loading needs a high fd limit
+    # (reference: run_training_egom2p.py:840-841)
+    try:
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        resource.setrlimit(resource.RLIMIT_NOFILE, (hard, hard))
+    except (ValueError, OSError):
+        pass
+    from egom2p_tpu.core.config import setup_run_name
+    setup_run_name(args)
     import jax
     from egom2p_tpu.core.cache import enable_persistent_cache
     from egom2p_tpu.core.checkpoint import (auto_load_model, save_checkpoint)
