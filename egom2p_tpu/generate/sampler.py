@@ -236,7 +236,6 @@ class GenerationSampler:
         total = 0
         for mod in mod_dict:
             if mod in self.model.in_domains:
-                total = max(total, 0)
                 total += int((~mod_dict[mod]["input_mask"]).sum(axis=1).max())
         return total
 
@@ -307,6 +306,10 @@ class GenerationSampler:
             ids_keep = self._select_positions(~open_mask, k, rng, random_order=False)
 
         if use_cfg:
+            # NOTE: running cond/uncond at separate (smaller) encoder lengths
+            # was measured SLOWER here: per-dispatch latency through the TPU
+            # RPC relay outweighs the saved padded compute.  One stacked
+            # 2B-batch dispatch wins.
             uncond = self._make_uncond(mod_dict, conditioning)
             stacked = self._stack_dicts(mod_dict, uncond)
             ids_dev = jnp.asarray(np.concatenate([ids_keep, ids_keep], axis=0))
