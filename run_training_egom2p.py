@@ -360,9 +360,18 @@ def main(args):
             eval_step = jax.jit(make_eval_step(
                 model, args.num_input_tokens, args.num_target_tokens,
                 args.loss_type))
+            if args.fixed_eval:
+                # deterministic pinned eval batches, same every epoch
+                # (reference fixed_eval loaders, pretrain_utils.py:196-293)
+                if not hasattr(main, "_fixed_batches"):
+                    main._fixed_batches = [next(loader_it)
+                                           for _ in range(args.eval_iters)]
+                eval_batches = main._fixed_batches
+            else:
+                eval_batches = [next(loader_it) for _ in range(args.eval_iters)]
             accum = None
-            for _ in range(args.eval_iters):
-                em = eval_step(state.params, next(loader_it))
+            for eb in eval_batches:
+                em = eval_step(state.params, eb)
                 em = {k: float(v) for k, v in em.items()}
                 accum = em if accum is None else {
                     k: accum[k] + em[k] for k in em}

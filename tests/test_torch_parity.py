@@ -12,8 +12,9 @@ import types
 import numpy as np
 import pytest
 
-# --- make the reference importable -------------------------------------------
-sys.path.insert(0, "/root/reference")
+# --- make the reference importable (APPEND so the reference's root-level
+# run_training_*.py never shadow this repo's) ---------------------------------
+sys.path.append("/root/reference")
 _fake_loguru = types.ModuleType("loguru")
 
 
