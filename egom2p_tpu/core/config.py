@@ -16,6 +16,20 @@ from typing import Any, Dict, List, Optional, Tuple
 import yaml
 
 
+def str2bool(v) -> bool:
+    """Argparse-safe bool: `--flag False` must mean False.  (`type=bool` makes
+    any non-empty string truthy — the reference inherits that footgun; we
+    don't.)"""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("1", "true", "t", "yes", "y", "on"):
+        return True
+    if s in ("0", "false", "f", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def parse_args_with_config(parser: argparse.ArgumentParser, argv=None):
     """Two-stage parse: --config YAML values become defaults, CLI overrides
     (reference: run_training_egom2p.py:224-239)."""

@@ -51,20 +51,49 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def all_reduce_metrics(metrics: dict) -> dict:
-    """Cross-host mean of scalar metrics (reference: logger.py:52-63).
-    Uses a tiny jitted psum over all devices."""
-    if jax.process_count() == 1:
+def all_reduce_metrics(metrics: dict, mesh=None, force: bool = False) -> dict:
+    """Cross-host mean of host-side scalar metrics (reference's MetricLogger
+    all_reduce, egom2p/utils/logger.py:52-63).
+
+    Each process contributes its local value once; the result is the mean
+    over processes.  Implemented as a shard_map psum over a 1-D mesh of all
+    devices: every process places its scalar vector on its first local
+    device, the vectors are summed with `lax.psum`, and the sum is divided by
+    the *process* count (each process replicates its value onto its local
+    devices, so the device-sum equals sum-over-processes × local_device_count,
+    which the normalization folds in)."""
+    keys = list(metrics)
+    if not keys:
+        return {}
+    if jax.process_count() == 1 and not force:
         return {k: float(v) for k, v in metrics.items()}
     import jax.numpy as jnp
+    from jax import shard_map
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = np.asarray(jax.devices())
-    mesh = Mesh(devices, ("d",))
-    vals = jnp.asarray([float(v) for v in metrics.values()])
+    mesh = mesh if mesh is not None else Mesh(devices, ("d",))
+    axes = tuple(mesh.axis_names)
+    local = jnp.asarray([float(metrics[k]) for k in keys], dtype=jnp.float32)
+    # Replicate the local vector across this process's addressable devices,
+    # then view the stack as fully sharded over the mesh: a psum over it sums
+    # every process's contribution local_device_count times.
+    n_local = len([d for d in mesh.devices.flat
+                   if d.process_index == jax.process_index()])
+    stacked = jnp.tile(local[None], (n_local, 1))
+    sharding = NamedSharding(mesh, P(axes))
+    flat_shape = (int(np.prod(mesh.devices.shape)), len(keys))
+    garr = jax.make_array_from_process_local_data(
+        sharding, np.asarray(stacked, dtype=np.float32), flat_shape)
 
     @jax.jit
-    def mean_all(x):
-        return x  # values identical per host after psum-in-train-step; mean is identity
+    def mean_over_processes(x):
+        def inner(v):
+            total = jax.lax.psum(v, axes)
+            return total / (jax.process_count() * n_local)
+        return shard_map(inner, mesh=mesh, in_specs=P(axes),
+                         out_specs=P(axes))(x)
 
-    return dict(zip(metrics, np.asarray(mean_all(vals)).tolist()))
+    out = np.asarray(jax.device_get(
+        mean_over_processes(garr).addressable_shards[0].data))
+    return dict(zip(keys, out.reshape(-1, len(keys))[0].tolist()))

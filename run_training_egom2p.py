@@ -24,7 +24,7 @@ import numpy as np
 
 
 def get_args(argv=None):
-    from egom2p_tpu.core.config import parse_args_with_config
+    from egom2p_tpu.core.config import parse_args_with_config, str2bool
 
     p = argparse.ArgumentParser("EgoM2P pretraining",
                                 allow_abbrev=False)
@@ -38,7 +38,7 @@ def get_args(argv=None):
     p.add_argument("--model", default="egom2p_base_12e_12d_swiglu_nobias")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--num_register_tokens", type=int, default=0)
-    p.add_argument("--use_act_checkpoint", type=bool, default=True,
+    p.add_argument("--use_act_checkpoint", type=str2bool, default=True,
                    help="rematerialize blocks in backward (needed at batch>=8 "
                         "on 16GB chips)")
     # Train

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def get_args(argv=None):
-    from egom2p_tpu.core.config import parse_args_with_config
+    from egom2p_tpu.core.config import parse_args_with_config, str2bool
 
     p = argparse.ArgumentParser("VQ-VAE tokenizer training", allow_abbrev=False)
     p.add_argument("--run_name", default="auto")
@@ -30,18 +30,18 @@ def get_args(argv=None):
     p.add_argument("--encoder_type", default="CamTransformer")
     p.add_argument("--decoder_type", default="CamTransformer")
     p.add_argument("--num_frames", type=int, default=60)
-    p.add_argument("--post_mlp", type=bool, default=True)
+    p.add_argument("--post_mlp", type=str2bool, default=True)
     p.add_argument("--temporal_downsampling", type=int, default=2)
     # Quantizer
     p.add_argument("--codebook_size", type=int, default=256)
     p.add_argument("--latent_dim", type=int, default=32)
-    p.add_argument("--norm_codes", type=bool, default=True)
+    p.add_argument("--norm_codes", type=str2bool, default=True)
     p.add_argument("--quantizer_type", default="lucid")
     p.add_argument("--coef_ema_dead_code", type=float, default=32.0)
     p.add_argument("--code_replacement_policy", default="batch_random")
     p.add_argument("--commitment_weight", type=float, default=1.0)
     p.add_argument("--quantizer_ema_decay", type=float, default=0.99)
-    p.add_argument("--kmeans_init", type=bool, default=False)
+    p.add_argument("--kmeans_init", type=str2bool, default=False)
     # Losses
     p.add_argument("--loss_fn", default="mse", choices=["mse", "mse_mask"])
     p.add_argument("--codebook_weight", type=float, default=1.0)

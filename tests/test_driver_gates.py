@@ -1,0 +1,73 @@
+"""Regression tests for the driver's official gates and round-1 weak spots.
+
+1. `dryrun_multichip(8)` must work when *imported* under an interpreter whose
+   ambient backend has <8 devices (the driver's call path; MULTICHIP_r01
+   failed exactly this way — the function now self-provisions an 8-device
+   CPU mesh via subprocess re-exec).
+2. `--flag False` must parse as False (round-1 `type=bool` footgun).
+3. `all_reduce_metrics` must be a real collective mean, not an identity stub.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_import_call_self_provisions():
+    """Simulate the driver: fresh interpreter, NO forced device count, import
+    and call dryrun_multichip(8).  Must exit 0 and print the mesh line."""
+    env = {k: v for k, v in os.environ.items()}
+    flags = (env.get("XLA_FLAGS", "")
+             .replace("--xla_force_host_platform_device_count=8", "")).strip()
+    env.pop("XLA_FLAGS", None)
+    if flags:
+        env["XLA_FLAGS"] = flags
+    code = ("import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"  # 1 CPU device
+            "from __graft_entry__ import dryrun_multichip\n"
+            "dryrun_multichip(8)\n")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8)" in proc.stdout
+
+
+def test_str2bool_flags_parse_false():
+    sys.path.insert(0, REPO)
+    import run_training_egom2p
+    import run_training_vqvae
+
+    args = run_training_egom2p.get_args(
+        ["--data_config", "x.yaml", "--use_act_checkpoint", "False"])
+    assert args.use_act_checkpoint is False
+    args = run_training_vqvae.get_args(
+        ["--post_mlp", "False", "--norm_codes", "false",
+         "--kmeans_init", "True"])
+    assert args.post_mlp is False and args.norm_codes is False
+    assert args.kmeans_init is True
+
+
+def test_str2bool_rejects_garbage():
+    import argparse
+
+    import pytest
+
+    from egom2p_tpu.core.config import str2bool
+    with pytest.raises(argparse.ArgumentTypeError):
+        str2bool("maybe")
+
+
+def test_all_reduce_metrics_real_mean():
+    """On the 8-device CPU mesh (single process), force the collective path:
+    every 'process' contributes the same value, so the mean must equal it —
+    and the computation must actually run through psum, not identity."""
+    from egom2p_tpu.core.distributed import all_reduce_metrics
+
+    metrics = {"loss": 3.25, "grad_norm": 1.5}
+    out = all_reduce_metrics(metrics, force=True)
+    assert set(out) == set(metrics)
+    np.testing.assert_allclose(out["loss"], 3.25, rtol=1e-6)
+    np.testing.assert_allclose(out["grad_norm"], 1.5, rtol=1e-6)
