@@ -110,18 +110,31 @@ def expand_to_batch(mod_dict, batch_size):
 
 
 # ------------------------------------------------------------------ sampling
-_TOPP_TRUNC = 1024  # candidate set cap for sort-free nucleus sampling
+# Candidate set cap for sort-free nucleus sampling.  256 covers any realistic
+# top-p nucleus (a trained model's 0.8-nucleus at temp<=1 is a handful of
+# tokens; even a uniform-over-256 tail carries p<0.4% error mass) and is 4x
+# cheaper than 1024 on TPU: approx_max_k's aggregation sort dominates the
+# whole sampling step at 64k vocab (measured 169ms -> 55ms per 16x427 rows).
+_TOPP_TRUNC = 256
 
 
 def _top_candidates(logits, K):
     """Top-K candidates, sorted descending.  Uses the TPU-optimized
-    approximate max-k (13x faster than exact top_k at 64k vocab; with
+    approximate max-k (~3x faster than exact top_k at 64k vocab; with
     aggregate_to_topk the returned set is exactly sorted and recall is
-    ~recall_target on the tail, which nucleus sampling never reaches)."""
+    ~recall_target on the tail, which nucleus sampling never reaches).
+    The scan runs in bf16 (halves the HBM read of the 64k-vocab logits);
+    selected candidate values are returned in fp32 for the softmax."""
     try:
-        return jax.lax.approx_max_k(logits, K)
+        # recall_target tunes approx_max_k's bucket count; 0.85 is 3x faster
+        # than the 0.95 default at 64k vocab (32ms vs 107ms per ROAR step at
+        # batch 16) and only thins the far tail of the candidate set — the
+        # top few hundred values virtually always win their buckets.
+        vals, idxs = jax.lax.approx_max_k(logits.astype(jnp.bfloat16), K,
+                                          recall_target=0.85)
     except Exception:  # pragma: no cover - older backends
-        return jax.lax.top_k(logits, K)
+        vals, idxs = jax.lax.top_k(logits, K)
+    return vals.astype(jnp.float32), idxs
 
 
 def sample_tokens(logits: jnp.ndarray, key, temperature: float,
@@ -226,16 +239,96 @@ class GenerationSampler:
             self._logits_fns[cache_key] = fn
         return self._logits_fns[cache_key]
 
+    def _fused_img_step_fn(self, target_mod: str, num_enc_c: int,
+                           num_enc_u: int, k: int, num_select: int,
+                           use_cfg: bool, cfg_scale: float, temperature: float,
+                           top_k: float, top_p: float, cond_mods: tuple):
+        """Device-resident ROAR/MaskGIT step: encoder (split-shape CFG when
+        enabled) + decoder-subset logits + CFG mix + sampling + MaskGIT
+        confidence selection + scatter-update of the target modality state,
+        in ONE dispatch with NO readback.
+
+        The chain state (tensor/input_mask/target_mask per modality) stays on
+        device between steps; the host only chooses positions (`ids_keep`) and
+        mirrors the masks, so a 3-step ROAR chain costs exactly one upload,
+        three async dispatches, and one final download through the TPU RPC
+        relay (round 1 paid per-step uploads + a ~30ms readback per step)."""
+        cache_key = ("fused", target_mod, num_enc_c, num_enc_u, k, num_select,
+                     use_cfg, float(cfg_scale), float(temperature),
+                     float(top_k), float(top_p), cond_mods)
+        if cache_key not in self._logits_fns:
+            model = self.model
+
+            @jax.jit
+            def fn(params, dev, ids_keep, key):
+                if use_cfg:
+                    un_view = {
+                        mod: ({**d,
+                               "input_mask": jnp.ones_like(d["input_mask"])}
+                              if mod in cond_mods else d)
+                        for mod, d in dev.items()
+                    }
+                    ctx_c, mask_c = model.apply(
+                        params, dev, num_enc_c,
+                        method=EgoM2P.forward_enc_context)
+                    ctx_u, mask_u = model.apply(
+                        params, un_view, num_enc_u,
+                        method=EgoM2P.forward_enc_context)
+                    pad = ctx_c.shape[1] - ctx_u.shape[1]
+                    ctx_u = jnp.pad(ctx_u, ((0, 0), (0, pad), (0, 0)))
+                    mask_u = jnp.pad(mask_u, ((0, 0), (0, 0), (0, pad)),
+                                     constant_values=True)  # blocked keys
+                    context = jnp.concatenate([ctx_c, ctx_u], axis=0)
+                    enc_mask = jnp.concatenate([mask_c, mask_u], axis=0)
+                    tgt = dev[target_mod]
+                    dec_view = {target_mod: {
+                        kk: jnp.concatenate([vv, vv], axis=0)
+                        for kk, vv in tgt.items()}}
+                    ids2 = jnp.concatenate([ids_keep, ids_keep], axis=0)
+                else:
+                    context, enc_mask = model.apply(
+                        params, dev, num_enc_c,
+                        method=EgoM2P.forward_enc_context)
+                    dec_view, ids2 = dev, ids_keep
+                logits = model.apply(
+                    params, dec_view, target_mod, context, enc_mask, ids2,
+                    method=EgoM2P.forward_dec_subset_logits)
+                if use_cfg:
+                    B = logits.shape[0] // 2
+                    lc, lu = logits[:B], logits[B:]
+                    logits = lu + (lc - lu) * cfg_scale  # (generate.py:805)
+                samples, probs = sample_tokens(logits, key, temperature,
+                                               top_k, top_p)
+                if num_select < k:
+                    # MaskGIT: keep the num_select most confident positions
+                    # (reference: generate.py:652-665)
+                    _, top_idx = jax.lax.top_k(probs, num_select)
+                    sel_pos = jnp.take_along_axis(ids_keep, top_idx, axis=1)
+                    sel_samples = jnp.take_along_axis(samples, top_idx, axis=1)
+                else:
+                    sel_pos, sel_samples = ids_keep, samples
+                d = dev[target_mod]
+                rows = jnp.arange(sel_pos.shape[0])[:, None]
+                new_tensor = d["tensor"].at[rows, sel_pos].set(
+                    sel_samples.astype(d["tensor"].dtype))
+                new_imask = d["input_mask"].at[rows, sel_pos].set(False)
+                new_tmask = d["target_mask"].at[rows, sel_pos].set(True)
+                return new_tensor, new_imask, new_tmask, sel_pos
+
+            self._logits_fns[cache_key] = fn
+        return self._logits_fns[cache_key]
+
     # ------------------------------------------------------------ host utils
-    def _num_enc_tokens(self, mod_dict) -> int:
+    def _num_enc_tokens(self, mod_dict, exclude: tuple = ()) -> int:
         # Bucketed max-unmasked count (reference computes the dynamic max,
         # generate.py:415).  Buckets of 512 keep the compile count per task at
         # a handful of shapes, all cached persistently; extra slots are
         # fully-masked padding (zeroed embeddings, blocked keys) so results
-        # are identical.
+        # are identical.  `exclude` counts a CFG-uncond view without
+        # materializing it (excluded = emptied conditioning modalities).
         total = 0
         for mod in mod_dict:
-            if mod in self.model.in_domains:
+            if mod in self.model.in_domains and mod not in exclude:
                 total += int((~mod_dict[mod]["input_mask"]).sum(axis=1).max())
         return total
 
@@ -280,11 +373,18 @@ class GenerationSampler:
         return order[:, :k].astype(np.int32)
 
     # ------------------------------------------------------------- gen steps
-    def _img_step(self, mod_dict, target_mod: str, scheme: str, num_select: int,
-                  temperature: float, top_k: float, top_p: float,
-                  conditioning: List[str], cfg_scale: float,
-                  rng: np.random.Generator, key) -> None:
-        """One ROAR or MaskGIT step; updates `mod_dict` in place.
+    def _img_step(self, mod_dict, dev, dirty: set, target_mod: str,
+                  scheme: str, num_select: int, temperature: float,
+                  top_k: float, top_p: float, conditioning: List[str],
+                  cfg_scale: float, rng: np.random.Generator, key,
+                  sync_to_host) -> None:
+        """One ROAR or MaskGIT step.
+
+        Tensors live on DEVICE in `dev` (chain state, scatter-updated in-jit);
+        the host `mod_dict` masks are kept as exact mirrors (ROAR positions
+        are host-chosen; MaskGIT's device-side confidence selection is read
+        back as a small sel_pos array).  `dirty` tracks modalities whose host
+        *tensor* is stale relative to the device.
 
         Note: during generation, target_mask True == already filled /
         not-to-predict; we predict where target_mask is False
@@ -297,47 +397,69 @@ class GenerationSampler:
         if n_remaining == 0:
             return
         use_cfg = cfg_scale != 1.0 and len(conditioning) > 0
+        all_img_cond = all(self.info[m]["type"] not in SEQ_TYPES
+                           for m in conditioning)
 
         if scheme == "roar":
             k = min(num_select, n_remaining)
-            ids_keep = self._select_positions(~open_mask, k, rng, random_order=True)
+            ids_keep = self._select_positions(~open_mask, k, rng,
+                                              random_order=True)
         else:  # maskgit: logits over ALL open positions
             k = n_remaining
-            ids_keep = self._select_positions(~open_mask, k, rng, random_order=False)
+            ids_keep = self._select_positions(~open_mask, k, rng,
+                                              random_order=False)
 
-        if use_cfg:
-            # NOTE: running cond/uncond at separate (smaller) encoder lengths
-            # was measured SLOWER here: per-dispatch latency through the TPU
-            # RPC relay outweighs the saved padded compute.  One stacked
-            # 2B-batch dispatch wins.
+        if use_cfg and not all_img_cond:
+            # seq-type conditioning needs host-side sentinel rewrites; run the
+            # legacy stacked 2B-batch host-resident formulation for it
+            sync_to_host()
             uncond = self._make_uncond(mod_dict, conditioning)
             stacked = self._stack_dicts(mod_dict, uncond)
             ids_dev = jnp.asarray(np.concatenate([ids_keep, ids_keep], axis=0))
-        else:
-            stacked = mod_dict
-            ids_dev = jnp.asarray(ids_keep)
+            num_enc = _bucket(self._num_enc_tokens(stacked))
+            fn = self._step_fn(target_mod, num_enc, k, True, cfg_scale,
+                               temperature, top_k, top_p)
+            samples, probs = fn(self.params, self._to_device(stacked),
+                                ids_dev, key)
+            B = ids_keep.shape[0]
+            samples = np.asarray(samples)[:B]
+            probs = np.asarray(probs)[:B]
+            if scheme == "maskgit" and num_select < k:
+                top_idx = np.argsort(-probs, axis=1)[:, :num_select]
+                sel_pos = np.take_along_axis(ids_keep, top_idx, axis=1)
+                sel_samples = np.take_along_axis(samples, top_idx, axis=1)
+            else:
+                sel_pos, sel_samples = ids_keep, samples
+            rows = np.arange(B)[:, None]
+            d["tensor"][rows, sel_pos] = sel_samples.astype(d["tensor"].dtype)
+            d["input_mask"][rows, sel_pos] = False
+            d["target_mask"][rows, sel_pos] = True
+            # refresh the device mirror of the modality we just changed
+            dev[target_mod] = {kk: jnp.asarray(vv) for kk, vv in d.items()}
+            return
 
-        num_enc = _bucket(self._num_enc_tokens(stacked))
-        fn = self._step_fn(target_mod, num_enc, k, use_cfg, cfg_scale,
-                           temperature, top_k, top_p)
-        samples, probs = fn(self.params, self._to_device(stacked), ids_dev, key)
-        B = ids_keep.shape[0]
-        samples = np.asarray(samples)[:B]
-        probs = np.asarray(probs)[:B]
+        num_enc_c = _bucket(self._num_enc_tokens(mod_dict))
+        num_enc_u = _bucket(
+            self._num_enc_tokens(mod_dict, exclude=tuple(conditioning)),
+            256) if use_cfg else 0
+        n_sel = num_select if scheme == "maskgit" else k
+        fn = self._fused_img_step_fn(
+            target_mod, num_enc_c, num_enc_u, k, min(n_sel, k), use_cfg,
+            cfg_scale, temperature, top_k, top_p, tuple(sorted(conditioning)))
+        new_tensor, new_imask, new_tmask, sel_pos = fn(
+            self.params, dev, jnp.asarray(ids_keep), key)
+        dev[target_mod] = {**dev[target_mod], "tensor": new_tensor,
+                           "input_mask": new_imask, "target_mask": new_tmask}
+        dirty.add(target_mod)
 
+        # host mask mirrors (tensor values stay device-side until sync)
         if scheme == "maskgit" and num_select < k:
-            # keep only the top-num_select most confident positions
-            # (reference: generate.py:652-665)
-            top_idx = np.argsort(-probs, axis=1)[:, :num_select]
-            sel_pos = np.take_along_axis(ids_keep, top_idx, axis=1)
-            sel_samples = np.take_along_axis(samples, top_idx, axis=1)
+            sel_np = np.asarray(sel_pos)  # small (B, num_select) readback
         else:
-            sel_pos, sel_samples = ids_keep, samples
-
-        rows = np.arange(B)[:, None]
-        d["tensor"][rows, sel_pos] = sel_samples.astype(d["tensor"].dtype)
-        d["input_mask"][rows, sel_pos] = False
-        d["target_mask"][rows, sel_pos] = True
+            sel_np = ids_keep  # ROAR fills exactly the chosen ids: no readback
+        rows = np.arange(sel_np.shape[0])[:, None]
+        d["input_mask"][rows, sel_np] = False
+        d["target_mask"][rows, sel_np] = True
 
     # ------------------------------------------------------- autoregressive
     def _enc_fn(self, num_enc: int):
@@ -603,9 +725,35 @@ class GenerationSampler:
                  seed: Optional[int] = None):
         """(reference: generate.py:1030-1097).  `mod_dict` is a host dict of
         numpy arrays; returns an updated deep copy."""
-        mod_dict = {m: {k: np.array(v) for k, v in d.items()}
+        def _host_copy(k, v):
+            # an already-on-device tensor stays device-resident (no download);
+            # masks must be host numpy for the chain's position logic
+            if k == "tensor" and isinstance(v, jax.Array):
+                return v
+            return np.array(v)
+
+        mod_dict = {m: {k: _host_copy(k, v) for k, v in d.items()}
                     for m, d in mod_dict.items()}
         key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+        # device-resident chain state: tensors stay on device across steps;
+        # host only mirrors masks (see _img_step)
+        dev = None
+        dirty: set = set()
+
+        def sync_to_host():
+            nonlocal dev
+            for m, d in mod_dict.items():
+                if isinstance(d["tensor"], jax.Array) and m not in dirty:
+                    d["tensor"] = np.asarray(jax.device_get(d["tensor"]))
+            if dev is None:
+                return
+            for mod in sorted(dirty):
+                fetched = jax.device_get(dev[mod])
+                for kk, vv in fetched.items():
+                    mod_dict[mod][kk] = np.asarray(vv)
+            dirty.clear()
+
         for step, s in enumerate(schedule):
             target_mod = s["target_domain"]
             rng = np.random.default_rng(
@@ -613,16 +761,21 @@ class GenerationSampler:
             key, sub = jax.random.split(key)
             mtype = self.info[target_mod]["type"]
             if mtype in ("img", "cam", "gaze", "keypoints"):
+                if dev is None:
+                    dev = self._to_device(mod_dict)
                 self._img_step(
-                    mod_dict, target_mod, s["scheme"], s["num_tokens"],
-                    s["temperature"], top_k, top_p,
+                    mod_dict, dev, dirty, target_mod, s["scheme"],
+                    s["num_tokens"], s["temperature"], top_k, top_p,
                     s.get("cfg_cond_domains", []), s.get("cfg_scale", 1.0),
-                    rng, sub)
+                    rng, sub, sync_to_host)
             elif mtype in SEQ_TYPES:
+                sync_to_host()
+                dev = None  # seq merging may change shapes; re-upload lazily
                 self._seq_step(
                     mod_dict, target_mod, s["temperature"], top_k, top_p,
                     s.get("cfg_cond_domains", []), s.get("cfg_scale", 1.0),
                     sub, text_tokenizer)
             else:
                 raise ValueError(f"invalid schedule target {target_mod}")
+        sync_to_host()
         return mod_dict

@@ -70,6 +70,26 @@ class CausalVideoTokenizer:
         self._encode_u8 = jax.jit(lambda p, x: self.module.apply(
             p, (x.astype(compute_dtype) / 127.5) - 1.0,
             method=CausalDiscreteVideoTokenizer.encode))
+
+        def _encode_u8_padded(p, x):
+            # in-graph pad_video_batch (shapes are static under trace), so the
+            # host ships the raw unpadded uint8 frames and does zero numpy
+            # work; zero-padding uint8 == padding with black, identical to the
+            # reference's pre-conversion pad (utils.py:325-380)
+            ta = 2 * self.cfg.temporal_compression
+            sa = 2 * self.cfg.spatial_compression
+            T, H, W = x.shape[1:4]
+            hp, wp = (sa - H % sa) % sa, (sa - W % sa) % sa
+            fp = (ta - (T - 1) % ta) % ta
+            x = jnp.pad(x, ((0, 0), (0, 0), (hp >> 1, hp - (hp >> 1)),
+                            (wp >> 1, wp - (wp >> 1)), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (fp >> 1, fp - (fp >> 1)), (0, 0), (0, 0),
+                            (0, 0)), mode="edge")
+            return self.module.apply(
+                p, (x.astype(compute_dtype) / 127.5) - 1.0,
+                method=CausalDiscreteVideoTokenizer.encode)
+
+        self._encode_u8_padded = jax.jit(_encode_u8_padded)
         self._decode_code = jax.jit(lambda p, i: self.module.apply(
             p, i, method=CausalDiscreteVideoTokenizer.decode_code))
 
@@ -89,19 +109,25 @@ class CausalVideoTokenizer:
         """(B, t, h, w) token indices -> video (B, 1+(t-1)*pt, H, W, 3) in [-1,1]."""
         return self._decode_code(self.params, indices)
 
-    def forward(self, video_uint8: np.ndarray, temporal_window: int = 17) -> np.ndarray:
+    def forward(self, video_uint8, temporal_window: int = 17,
+                device_out: bool = False):
         """Tokenize arbitrary-length uint8 video with a sliding temporal window
-        (reference: video_lib.py:118-152).  Returns (B, t_total, h, w) int32."""
+        (reference: video_lib.py:118-152).  Returns (B, t_total, h, w) int32.
+
+        `video_uint8` may be host numpy or an already-uploaded device array;
+        padding happens in-graph.  With device_out=True the token grid stays
+        on device (no readback) for pipelines that feed it straight into
+        generation."""
         assert video_uint8.ndim == 5
         num_frames = video_uint8.shape[1]
         out = []
         for idx in range((num_frames - 1) // temporal_window + 1):
             window = video_uint8[:, idx * temporal_window:(idx + 1) * temporal_window]
-            padded, _ = pad_video_batch(
-                window, temporal_align=2 * self.cfg.temporal_compression,
-                spatial_align=2 * self.cfg.spatial_compression)
-            indices, _ = self._encode_u8(self.params, jnp.asarray(padded))
-            out.append(np.asarray(indices))
+            indices, _ = self._encode_u8_padded(self.params,
+                                                jnp.asarray(window))
+            out.append(indices if device_out else np.asarray(indices))
+        if device_out:
+            return out[0] if len(out) == 1 else jnp.concatenate(out, axis=1)
         return np.concatenate(out, axis=1)
 
     __call__ = forward

@@ -44,26 +44,39 @@ def reconst_loss(pred, target, loss_fn: str, n_channels: int):
     raise ValueError(f"unknown loss_fn {loss_fn}")
 
 
-def make_vqvae_train_step(module: SeqAutoencoder, vq_cfg: VQConfig,
+def make_vqvae_train_step(module, vq_cfg: VQConfig,
                           optimizer: optax.GradientTransformation,
                           loss_fn: str = "mse",
                           codebook_weight: float = 1.0,
                           axis_name: Optional[str] = None,
-                          ema_decay: Optional[float] = None):
-    """Build the jittable train step.  If `axis_name` is set the caller is
+                          ema_decay: Optional[float] = None,
+                          percept_loss=None,
+                          percept_weight: float = 0.0):
+    """Build the jittable train step for any autoencoder exposing
+    encode_latents/decode_latents (SeqAutoencoder for cam/gaze,
+    VideoAutoencoder for rgb/depth).  If `axis_name` is set the caller is
     expected to run it under shard_map/pmap with that mesh axis; codebook
-    statistics are then psum-synced like the reference's distributed EMA."""
+    statistics are then psum-synced like the reference's distributed EMA.
+    `percept_loss(pred, target) -> scalar` is the optional perceptual hook
+    (reference: run_training_vqvae.py:144-151, 1228)."""
     n_channels = module.n_channels
+    enc_method = type(module).encode_latents
+    dec_method = type(module).decode_latents
 
     def train_step(state: VQVAETrainState, batch: jnp.ndarray, rng: jax.Array):
         def loss_and_aux(params):
-            lat = module.apply(params, batch, method=SeqAutoencoder.encode_latents)
+            lat = module.apply(params, batch, method=enc_method)
+            grid = lat.shape[1:-1]  # video latents come as a (t,h,w) grid
+            flat = lat.reshape(lat.shape[0], -1, lat.shape[-1])
             quant, commit, tokens, new_vq = vq_forward(
-                vq_cfg, state.vq_state, lat, training=True, rng=rng,
+                vq_cfg, state.vq_state, flat, training=True, rng=rng,
                 axis_name=axis_name)
-            pred = module.apply(params, quant, method=SeqAutoencoder.decode_latents)
+            quant = quant.reshape(lat.shape)
+            pred = module.apply(params, quant, method=dec_method)
             rec = reconst_loss(pred, batch, loss_fn, n_channels)
             loss = rec + codebook_weight * commit
+            if percept_loss is not None and percept_weight > 0.0:
+                loss = loss + percept_weight * percept_loss(pred, batch)
             return loss, (rec, commit, tokens, new_vq)
 
         (loss, (rec, commit, tokens, new_vq)), grads = jax.value_and_grad(

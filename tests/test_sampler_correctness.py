@@ -1,0 +1,157 @@
+"""Sampling-path correctness hardening (round-1 verdict items).
+
+1. Split-shape CFG (one dispatch, cond/uncond encoders at their own lengths)
+   must produce the same tokens as the legacy stacked 2B-batch formulation.
+2. The truncated top-K candidate machinery must cover the exact top-p nucleus
+   (verified against a full numpy sort) for realistic peaked logits.
+3. The device-resident ROAR chain must fill exactly the host-chosen positions
+   and keep host mask mirrors consistent with the device state.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egom2p_tpu.generate.sampler import (GenerationSampler, _bucket,
+                                         _top_candidates, sample_tokens)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from egom2p_tpu.data.modality_info import MODALITY_INFO, generate_uint15_hash
+    from egom2p_tpu.models.egom2p import create_model
+
+    mods = ("tok_cam", "tok_gaze")
+    info = {m: dict(MODALITY_INFO[m]) for m in mods}
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias", mods, mods,
+                         modality_info=info, dim=64, encoder_depth=2,
+                         decoder_depth=2, num_heads=4)
+    B, L = 2, 30
+    md = {}
+    rng = np.random.default_rng(0)
+    for m in mods:
+        md[m] = {"tensor": rng.integers(0, 256, (B, L)).astype(np.int32),
+                 "input_mask": np.zeros((B, L), bool),
+                 "target_mask": np.ones((B, L), bool),
+                 "decoder_attention_mask": np.zeros((B, L), np.int32)}
+    # tok_gaze is the target: fully open
+    md["tok_gaze"]["input_mask"][:] = True
+    md["tok_gaze"]["target_mask"][:] = False
+    params = model.init(jax.random.PRNGKey(0),
+                        {m: {k: jnp.asarray(v) for k, v in d.items()}
+                         for m, d in md.items()}, 16, 16)
+    return model, params, md, info
+
+
+def test_split_cfg_matches_stacked_cfg(tiny_setup):
+    """Same weights, same ids, temp->argmax: the fused split-shape CFG step
+    must pick exactly the tokens of the legacy stacked 2B formulation."""
+    model, params, md, info = tiny_setup
+    sampler = GenerationSampler(model, params, info)
+    B, L = md["tok_gaze"]["tensor"].shape
+    k = 8
+    ids_keep = np.tile(np.arange(k, dtype=np.int32), (B, 1))
+    key = jax.random.PRNGKey(7)
+    temp = 1e-12  # argmax: removes sampling randomness from the comparison
+    num_enc = _bucket(sampler._num_enc_tokens(md))
+
+    # legacy stacked path
+    uncond = sampler._make_uncond(md, ["tok_cam"])
+    stacked = sampler._stack_dicts(md, uncond)
+    fn_stacked = sampler._step_fn("tok_gaze", num_enc, k, True, 2.0, temp,
+                                  0.0, 0.0)
+    s_stacked, _ = fn_stacked(
+        params, sampler._to_device(stacked),
+        jnp.asarray(np.concatenate([ids_keep, ids_keep])), key)
+    s_stacked = np.asarray(s_stacked)[:B]
+
+    # fused split-shape path
+    num_enc_u = _bucket(sampler._num_enc_tokens(md, exclude=("tok_cam",)), 256)
+    fn_fused = sampler._fused_img_step_fn(
+        "tok_gaze", num_enc, num_enc_u, k, k, True, 2.0, temp, 0.0, 0.0,
+        ("tok_cam",))
+    new_tensor, imask, tmask, sel = fn_fused(
+        params, sampler._to_device(md), jnp.asarray(ids_keep), key)
+    filled = np.asarray(new_tensor)[np.arange(B)[:, None], ids_keep]
+
+    np.testing.assert_array_equal(filled, s_stacked)
+    # masks flipped exactly at the chosen ids
+    assert not np.asarray(imask)[np.arange(B)[:, None], ids_keep].any()
+    assert np.asarray(tmask)[np.arange(B)[:, None], ids_keep].all()
+
+
+def test_top_candidates_cover_exact_nucleus():
+    """The truncated candidate set must contain the exact top-p(0.8) nucleus
+    computed by a full sort, for peaked (trained-model-like) logits."""
+    rng = np.random.default_rng(1)
+    V = 64000
+    logits = rng.normal(0, 1, (4, V)).astype(np.float32)
+    # plant a peaked head: ~200 dominant logits per row so the 0.8-nucleus is
+    # large (~150 tokens) but still below the 256-candidate truncation —
+    # the regime the truncation must cover exactly
+    for r in range(4):
+        hot = rng.choice(V, 200, replace=False)
+        logits[r, hot] += rng.uniform(8, 12, 200)
+
+    vals, idxs = jax.jit(lambda l: _top_candidates(l, 256))(jnp.asarray(logits))
+    idxs = np.asarray(idxs)
+
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    for r in range(4):
+        order = np.argsort(-p[r])
+        csum = np.cumsum(p[r][order])
+        nucleus = order[: int(np.searchsorted(csum, 0.8)) + 1]
+        missing = set(nucleus) - set(idxs[r])
+        assert not missing, (r, len(nucleus), missing)
+
+
+def test_sample_tokens_temp0_is_argmax():
+    logits = jnp.asarray(np.random.default_rng(2).normal(0, 3, (5, 1000))
+                         .astype(np.float32))
+    s, p = jax.jit(lambda l, k: sample_tokens(l, k, 0.0, 0.0, 0.8))(
+        logits, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(s),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_device_resident_roar_chain_consistency(tiny_setup):
+    """After a full ROAR generate(), the returned host dict must be fully
+    materialized numpy, completely filled, and mask-consistent."""
+    from egom2p_tpu.generate.schedules import build_chained_generation_schedules
+
+    model, params, md, info = tiny_setup
+    sampler = GenerationSampler(model, params, info)
+    schedule = build_chained_generation_schedules(
+        cond_domains=["tok_cam"], target_domains=["tok_gaze"],
+        tokens_per_target=[30], autoregression_schemes=["roar"],
+        decoding_steps=[3], token_decoding_schedules=["linear"],
+        temps=[1.0], temp_schedules=["constant"], cfg_scales=[2.0],
+        cfg_schedules=["constant"], cfg_grow_conditioning=True)
+    out = sampler.generate(md, schedule, top_p=0.8, seed=0)
+    d = out["tok_gaze"]
+    assert isinstance(d["tensor"], np.ndarray)
+    assert d["target_mask"].all() and not d["input_mask"].any()
+    assert (d["tensor"] >= 0).all() and (d["tensor"] < 256).all()
+    # deterministic under the same seed, different under another
+    out2 = sampler.generate(md, schedule, top_p=0.8, seed=0)
+    np.testing.assert_array_equal(out["tok_gaze"]["tensor"],
+                                  out2["tok_gaze"]["tensor"])
+
+
+def test_maskgit_device_chain_fills_by_confidence(tiny_setup):
+    """MaskGIT with num_select < k must fill exactly num_select positions per
+    step (device-side confidence selection read back into host mirrors)."""
+    from egom2p_tpu.generate.schedules import build_chained_generation_schedules
+
+    model, params, md, info = tiny_setup
+    sampler = GenerationSampler(model, params, info)
+    schedule = build_chained_generation_schedules(
+        cond_domains=["tok_cam"], target_domains=["tok_gaze"],
+        tokens_per_target=[30], autoregression_schemes=["maskgit"],
+        decoding_steps=[4], token_decoding_schedules=["linear"],
+        temps=[1.0], temp_schedules=["constant"], cfg_scales=[2.0],
+        cfg_schedules=["constant"], cfg_grow_conditioning=True)
+    out = sampler.generate(md, schedule, top_p=0.8, seed=3)
+    d = out["tok_gaze"]
+    assert d["target_mask"].all() and not d["input_mask"].any()

@@ -377,3 +377,47 @@ def test_cosmos_base_parity():
                          method=type(jmodel).decode_code)
     t_out = t_out.float().numpy().transpose(0, 2, 3, 4, 1)
     assert np.abs(np.asarray(j_out, dtype=np.float32) - t_out).max() < 5e-3
+
+
+def test_egom2p_loss_parity_truncating(egom2p_pair):
+    """Budget < available tokens on BOTH encoder and decoder: exercises the
+    truncating argsort-gather path (which test_egom2p_loss_parity avoids).
+    A single modality is used so the reference's random decoder modality-order
+    shuffle (egom2p_model.py:312) cannot change which tokens are truncated —
+    the epsilon-argsort tiebreak is then deterministic in both frameworks."""
+    import random
+
+    tmodel, jmodel, params, _ = egom2p_pair
+    rng = np.random.default_rng(42)
+    L, n_in, n_tgt, budget = 30, 20, 20, 12
+    tensor = rng.integers(0, 256, size=(1, L)).astype(np.int64)
+    input_mask = np.ones((1, L), dtype=bool)
+    target_mask = np.ones((1, L), dtype=bool)
+    attn = np.zeros((1, L), dtype=np.int32)
+    perm = rng.permutation(L)
+    input_mask[0, perm[:n_in]] = False
+    target_mask[0, perm[: n_tgt]] = False  # overlapping is fine for this test
+    um = np.where(~target_mask[0])[0]
+    attn[0, um[0]] = len(um)
+    md = {"tok_cam": {"tensor": tensor, "input_mask": input_mask,
+                      "target_mask": target_mask,
+                      "decoder_attention_mask": attn}}
+
+    md_t = {m: {k: torch.from_numpy(np.asarray(v)) for k, v in d.items()}
+            for m, d in md.items()}
+    md_t["tok_cam"]["input_mask"] = md_t["tok_cam"]["input_mask"].bool()
+    md_t["tok_cam"]["target_mask"] = md_t["tok_cam"]["target_mask"].bool()
+    md_t["tok_cam"]["decoder_attention_mask"] = \
+        md_t["tok_cam"]["decoder_attention_mask"].int()
+
+    random.seed(0)
+    with torch.no_grad():
+        t_loss, _ = tmodel(md_t, num_encoder_tokens=budget,
+                           num_decoder_tokens=budget, loss_type="mod")
+
+    md_j = {m: {k: jnp.asarray(v) for k, v in d.items()}
+            for m, d in md.items()}
+    j_loss, _ = jmodel.apply(params, md_j, budget, budget, "mod",
+                             compute_dtype=jnp.float32)
+    assert abs(float(j_loss) - float(t_loss)) < 5e-3, (
+        float(j_loss), float(t_loss))
