@@ -29,9 +29,26 @@ def get_args(argv=None):
     # Architecture (reference: cfgs/default/tokenization/vqvae/**.yaml)
     p.add_argument("--encoder_type", default="CamTransformer")
     p.add_argument("--decoder_type", default="CamTransformer")
-    p.add_argument("--num_frames", type=int, default=60)
+    p.add_argument("--num_frames", type=int, default=60,
+                   help="60 for cam/gaze (30 fps x 2s); 16 for rgb/depth")
     p.add_argument("--post_mlp", type=str2bool, default=True)
     p.add_argument("--temporal_downsampling", type=int, default=2)
+    # video-domain architecture (reference: run_training_vqvae.py vivit path;
+    # tubelet/patch sizes follow the ViViT-B layout its weight-import implies)
+    p.add_argument("--input_size", type=int, default=256)
+    p.add_argument("--tubelet_size", type=int, default=2)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--frame_sample_rate", type=int, default=4)
+    p.add_argument("--use_npy", action="store_true",
+                   help="video samples are .npy (T,H,W,C) uint8 files")
+    p.add_argument("--vq_dim", type=int, default=768)
+    p.add_argument("--vq_depth", type=int, default=12)
+    p.add_argument("--vq_heads", type=int, default=12)
+    # perceptual loss hook (reference: run_training_vqvae.py:144-151)
+    p.add_argument("--percept_loss_weight", type=float, default=0.0)
+    p.add_argument("--percept_loss_type", default="lpips")
+    p.add_argument("--image_log_freq", type=int, default=0,
+                   help="write gt/recon clips every N epochs (0 = final only)")
     # Quantizer
     p.add_argument("--codebook_size", type=int, default=256)
     p.add_argument("--latent_dim", type=int, default=32)
@@ -61,7 +78,8 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_freq", type=int, default=1)
     # Data
-    p.add_argument("--domain", default="cam", choices=["cam", "gaze"])
+    p.add_argument("--domain", default="cam",
+                   choices=["cam", "gaze", "rgb", "depth"])
     p.add_argument("--data_path", default=None,
                    help="npy/npz of training clips; cam: (N,60,4,4) poses or "
                         "(N,60,9) canonicalized; gaze: (N,60,2)")
@@ -92,7 +110,23 @@ def get_args(argv=None):
     return parse_args_with_config(p, argv)
 
 
+VIDEO_DOMAINS = ("rgb", "depth")
+
+
 def build_tokenizer(args, rng):
+    if args.domain in VIDEO_DOMAINS:
+        from egom2p_tpu.tokenizers.video_vqvae import video_vqvae_from_config
+
+        return video_vqvae_from_config(
+            args.domain, rng, num_frames=args.num_frames,
+            image_size=args.input_size, tubelet_t=args.tubelet_size,
+            patch_size=args.patch_size, codebook_size=args.codebook_size,
+            latent_dim=args.latent_dim, ema_decay=args.quantizer_ema_decay,
+            threshold_ema_dead_code=2.0,  # video uses the reference's fixed
+                                          # threshold (run_training_vqvae.py:391)
+            commitment_weight=args.commitment_weight,
+            kmeans_init=args.kmeans_init, norm_codes=args.norm_codes,
+            dim=args.vq_dim, depth=args.vq_depth, num_heads=args.vq_heads)
     from egom2p_tpu.tokenizers.seq_vqvae import seq_vqvae_from_config
 
     return seq_vqvae_from_config(
@@ -103,7 +137,8 @@ def build_tokenizer(args, rng):
         threshold_ema_dead_code=(args.coef_ema_dead_code
                                  / args.codebook_size),
         commitment_weight=args.commitment_weight,
-        kmeans_init=args.kmeans_init)
+        kmeans_init=args.kmeans_init,
+        dim=args.vq_dim, depth=args.vq_depth, num_heads=args.vq_heads)
 
 
 def load_tokenizer_state(tok, path, domain):
@@ -149,6 +184,39 @@ def prepare_samples(args, path: str) -> (np.ndarray, str):
     return x, name
 
 
+def run_tokenize_video(args, tok):
+    """Pre-tokenize a directory of mp4/npy clips (reference VideoDataset
+    'tokenize' mode, video_dataset.py:165-167 + run_training_vqvae.py:1771-1816)."""
+    from egom2p_tpu.data.video_dataset import VideoClipDataset
+    from egom2p_tpu.tokenizers.cosmos.video_api import tensor2numpy
+
+    ds = VideoClipDataset(args.tokenize_path, mode="tokenize",
+                          clip_len=args.num_frames, crop_size=args.input_size,
+                          frame_sample_rate=args.frame_sample_rate,
+                          domain=args.domain, use_npy=args.use_npy)
+    out_dir = os.path.join(args.tokenize_save_path, "token")
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for i in range(len(ds)):
+        clip = ds[i][None]
+        name = os.path.splitext(os.path.basename(ds.samples[i]))[0]
+        if args.recon:
+            rec = np.asarray(tok.autoencode(clip))[0]
+            out = os.path.join(out_dir, f"{name}-recon.npy")
+            np.save(out, rec)
+            if args.domain == "rgb":
+                from egom2p_tpu.data.video_ingest import write_video
+                write_video(os.path.join(out_dir, f"{name}-recon.mp4"),
+                            tensor2numpy(rec), fps=8.0)
+        else:
+            tokens = np.asarray(tok.tokenize(clip))[0].astype(np.int16)
+            out = os.path.join(out_dir, f"{name}-tok.npz")
+            np.savez(out, tokens)
+        outs.append(out)
+        print(f"saved {out}")
+    return outs
+
+
 def run_tokenize(args):
     import jax
     from egom2p_tpu.data.cam_gaze import denormalize_cam, denormalize_gaze
@@ -158,6 +226,9 @@ def run_tokenize(args):
         tok = load_tokenizer_state(tok, args.resume, args.domain)
     else:
         print("[warn] --tokenize without --resume: random weights")
+
+    if args.domain in VIDEO_DOMAINS:
+        return run_tokenize_video(args, tok)
 
     x, name = prepare_samples(args, args.tokenize_path)
     out_dir = os.path.join(args.tokenize_save_path, "token")
@@ -174,6 +245,31 @@ def run_tokenize(args):
         np.savez(out, tokens)
     print(f"saved {out}")
     return out
+
+
+def eval_image_log(args, tok, state, epoch, dataset):
+    """Write ground-truth/reconstruction clips for visual inspection
+    (reference: run_training_vqvae.py:1818-1970 writes gt/recon mp4s)."""
+    import jax
+    from egom2p_tpu.tokenizers.cosmos.video_api import tensor2numpy
+
+    out_dir = os.path.join(args.output_dir, "image_logs")
+    os.makedirs(out_dir, exist_ok=True)
+    tok.params, tok.vq_state = state.params, state.vq_state
+    gt = dataset[0][None]
+    rec = np.asarray(jax.device_get(tok.autoencode(gt)))[0]
+    paths = []
+    for tag, clip in (("gt", gt[0]), ("recon", rec)):
+        if args.domain == "rgb":
+            from egom2p_tpu.data.video_ingest import write_video
+            path = os.path.join(out_dir, f"ep{epoch}_{tag}.mp4")
+            write_video(path, tensor2numpy(clip), fps=8.0)
+        else:  # depth: single channel -> npy (reference saves npys for depth)
+            path = os.path.join(out_dir, f"ep{epoch}_{tag}.npy")
+            np.save(path, clip)
+        paths.append(path)
+    print(f"image log: {paths}")
+    return paths
 
 
 def run_train(args):
@@ -194,18 +290,31 @@ def run_train(args):
     global_batch = args.batch_size * world
 
     assert args.data_path, "--data_path required for training"
-    data = np.load(args.data_path)
-    if hasattr(data, "files"):
-        data = data[data.files[0]]
-    if args.domain == "cam" and data.ndim == 4:
-        data = np.stack([canonicalize_cam(d) for d in data])
-    if args.domain == "cam":
-        data = normalize_cam(data)
-    data = data.astype(np.float32)
-    print(f"train samples: {data.shape}")
+    video_domain = args.domain in VIDEO_DOMAINS
+    dataset = None
+    if video_domain:
+        from egom2p_tpu.data.video_dataset import VideoClipDataset
+        dataset = VideoClipDataset(
+            args.data_path, mode="train", clip_len=args.num_frames,
+            crop_size=args.input_size,
+            frame_sample_rate=args.frame_sample_rate, domain=args.domain,
+            use_npy=args.use_npy, seed=args.seed)
+        n_samples = len(dataset)
+        print(f"train videos: {n_samples}")
+    else:
+        data = np.load(args.data_path)
+        if hasattr(data, "files"):
+            data = data[data.files[0]]
+        if args.domain == "cam" and data.ndim == 4:
+            data = np.stack([canonicalize_cam(d) for d in data])
+        if args.domain == "cam":
+            data = normalize_cam(data)
+        data = data.astype(np.float32)
+        n_samples = len(data)
+        print(f"train samples: {data.shape}")
 
     tok = build_tokenizer(args, jax.random.PRNGKey(args.seed))
-    niter_per_ep = max(len(data) // global_batch, 1)
+    niter_per_ep = max(n_samples // global_batch, 1)
     lr = args.blr * global_batch / 256.0
     sched = cosine_scheduler(lr, args.min_lr, args.epochs, niter_per_ep,
                              warmup_epochs=args.warmup_epochs,
@@ -214,9 +323,14 @@ def run_train(args):
         optax.clip_by_global_norm(args.clip_grad),
         optax.adamw(as_optax_schedule(sched), b1=args.opt_betas[0],
                     b2=args.opt_betas[1], weight_decay=args.weight_decay))
+    percept = None
+    if video_domain and args.percept_loss_weight > 0.0:
+        from egom2p_tpu.core.metrics import make_perceptual_loss
+        percept = make_perceptual_loss(args.percept_loss_type)
     step_fn = jax.jit(make_vqvae_train_step(
         tok.module, tok.vq_cfg, optimizer, loss_fn=args.loss_fn,
-        codebook_weight=args.codebook_weight))
+        codebook_weight=args.codebook_weight,
+        percept_loss=percept, percept_weight=args.percept_loss_weight))
     state = init_train_state(tok.params, optimizer, tok.vq_state)
 
     start_epoch = 0
@@ -230,14 +344,18 @@ def run_train(args):
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
     jsonl = JsonlLogger(args.output_dir)
+    batch_iter = (dataset.iter_batches(global_batch) if video_domain else None)
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger(print_freq=args.print_freq)
-        order = rng.permutation(len(data))
+        order = None if video_domain else rng.permutation(n_samples)
         for it, _ in logger.log_every(range(niter_per_ep),
                                       header=f"Epoch [{epoch}]",
                                       total=niter_per_ep):
-            idx = order[it * global_batch:(it + 1) * global_batch]
-            batch = data[idx]
+            if video_domain:
+                batch = next(batch_iter)
+            else:
+                idx = order[it * global_batch:(it + 1) * global_batch]
+                batch = data[idx]
             key, k = jax.random.split(key)
             state, metrics = step_fn(state, batch, k)
             logger.update(**{m: float(v) for m, v in metrics.items()})
@@ -249,6 +367,11 @@ def run_train(args):
                 "params": state.params,
                 "vq_state": state.vq_state._asdict(),
             })
+        if video_domain and (
+                epoch == args.epochs - 1
+                or (args.image_log_freq
+                    and (epoch + 1) % args.image_log_freq == 0)):
+            eval_image_log(args, tok, state, epoch, dataset)
     return state
 
 
