@@ -64,7 +64,12 @@ def get_args(argv=None):
     p.add_argument("--data_config", default=None)
     p.add_argument("--epoch_size", type=int, default=1_000_000)
     p.add_argument("--eval_freq", type=int, default=1)
-    p.add_argument("--fixed_eval", action="store_true")
+    # reference defaults fixed_eval ON with pinned 128/128 budgets
+    # (reference: run_training_egom2p.py:166-173)
+    p.add_argument("--fixed_eval", action="store_true", default=True)
+    p.add_argument("--no_fixed_eval", dest="fixed_eval", action="store_false")
+    p.add_argument("--fixed_eval_input_tokens", type=int, default=128)
+    p.add_argument("--fixed_eval_target_tokens", type=int, default=128)
     p.add_argument("--text_tokenizer_path", default=None)
     p.add_argument("--synthetic_data", action="store_true",
                    help="random token streams instead of tar shards")
@@ -201,6 +206,117 @@ def setup_data(args, mesh):
     return loader, sorted(all_domains)
 
 
+def setup_val_data(args, mesh):
+    """Build genuinely held-out validation + fixed_eval loader factories
+    (reference: run_training_egom2p.py:317-351, pretrain_utils.py:196-293).
+
+    Returns (val_factories, fixed_factories): dicts mapping dataset name to a
+    zero-arg callable producing a fresh batch iterator over the SAME held-out
+    data.  val loaders draw random token budgets like training; fixed_eval
+    loaders pin per-sample budgets to (fixed_eval_input_tokens,
+    fixed_eval_target_tokens) with a pinned masking seed, so the fixed-eval
+    batches are identical every epoch."""
+    from egom2p_tpu.core.config import load_data_config, setup_sampling_mod_info
+    from egom2p_tpu.core.mesh import num_data_shards
+    from egom2p_tpu.data.mixture import DatasetStream, MixtureLoader
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+    from egom2p_tpu.data.tar_reader import (braceexpand,
+                                            multi_tarfile_samples, shard_split)
+    from egom2p_tpu.masking.unified import UnifiedMasking
+
+    batch = args.batch_size * num_data_shards(mesh)
+    text_tokenizer = None
+    if args.text_tokenizer_path:
+        from tokenizers import Tokenizer
+        text_tokenizer = Tokenizer.from_file(args.text_tokenizer_path)
+
+    def masks_for(mod_info, sampling_weights, fixed):
+        if fixed:
+            return UnifiedMasking(
+                mod_info, text_tokenizer,
+                (args.fixed_eval_input_tokens,) * 2,
+                (args.fixed_eval_target_tokens,) * 2,
+                sampling_weights=sampling_weights,
+                seed=args.seed + 77777)  # pinned: identical every epoch
+        return UnifiedMasking(mod_info, text_tokenizer,
+                              args.num_input_tokens, args.num_target_tokens,
+                              sampling_weights=sampling_weights,
+                              seed=args.seed + 9999)
+
+    val_factories, fixed_factories = {}, {}
+
+    if args.synthetic_data:
+        mods = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+        if args.scaled_modalities:
+            from egom2p_tpu.data.modality_info import make_scaled_modality_info
+            info = make_scaled_modality_info()
+        else:
+            info = {m: dict(MODALITY_INFO[m]) for m in mods}
+        for m in info:
+            info[m]["input_alphas"] = [0.01, 0.1, 1.0, 10.0]
+            info[m]["target_alphas"] = [0.01, 0.1, 1.0, 10.0]
+        # held-out pool: DIFFERENT seed stream than the train pool -> disjoint
+        rng = np.random.default_rng(args.seed + 500_000)
+        pool = [{m: rng.integers(0, info[m]["vocab_size"],
+                                 size=info[m]["max_tokens"]).astype(np.int32)
+                 for m in mods} for _ in range(64)]
+
+        def make_factory(fixed):
+            def factory():
+                def stream():
+                    yield from pool
+
+                s = DatasetStream("synthetic_val", stream,
+                                  masks_for(info, [1.0] * 4, fixed))
+                loader = MixtureLoader([s], None, info, batch,
+                                       seed=args.seed + 31337, prefetch=1)
+                return iter(loader)
+            return factory
+
+        val_factories["synthetic_val"] = make_factory(False)
+        fixed_factories["synthetic_val"] = make_factory(True)
+        return val_factories, fixed_factories
+
+    dc = load_data_config(args.data_config)
+    if "val" not in dc:
+        return {}, {}
+    import re as _re
+
+    import jax as _jax
+    train_cfgs = dc.get("train", {}).get("datasets", {})
+    for name, dcfg in dc["val"]["datasets"].items():
+        base = dict(train_cfgs.get(name, {}))
+        base.update({k: v for k, v in dcfg.items() if v is not None})
+        mod_info, sampling_weights = setup_sampling_mod_info(base, MODALITY_INFO)
+        path = base["data_path"]
+        m = _re.search(r"\[([^\]]+)\]", path)
+        mods_in_path = m.group(1).split(",") if m else [""]
+        per_mod = {}
+        for mp in mods_in_path:
+            expanded = braceexpand(
+                path.replace(f"[{m.group(1)}]", mp) if m else path)
+            mod_key = next((k for k, v in mod_info.items()
+                            if v.get("path") == mp), mp or name)
+            per_mod[mod_key] = shard_split(expanded, _jax.process_index(),
+                                           _jax.process_count())
+
+        def make_factory(per_mod=per_mod, mod_info=mod_info,
+                         sw=sampling_weights, fixed=False):
+            def factory():
+                # sequential, non-shuffled, single pass over held-out shards
+                s = DatasetStream(name,
+                                  lambda: multi_tarfile_samples(per_mod),
+                                  masks_for(mod_info, sw, fixed))
+                loader = MixtureLoader([s], None, mod_info, batch,
+                                       seed=args.seed + 31337, prefetch=1)
+                return iter(loader)
+            return factory
+
+        val_factories[name] = make_factory()
+        fixed_factories[name] = make_factory(fixed=True)
+    return val_factories, fixed_factories
+
+
 def main(args):
     import resource
     # many-shard tar loading needs a high fd limit
@@ -233,6 +349,9 @@ def main(args):
           f"global batch {global_batch}")
 
     loader, all_domains = setup_data(args, mesh)
+    val_factories, fixed_factories = setup_val_data(args, mesh)
+    if val_factories:
+        print(f"val datasets: {sorted(val_factories)}")
 
     # epochs / warmup derivation from token budgets (reference: :433-460)
     tokens_per_sample = args.num_input_tokens + args.num_target_tokens
@@ -355,30 +474,48 @@ def main(args):
             tag = epoch if epoch != args.epochs - 1 else "final"
             path = save_checkpoint(args.output_dir, tag, state)
             print(f"saved {path}")
-        if args.eval_freq and (epoch + 1) % args.eval_freq == 0:
+        if args.eval_freq and (epoch + 1) % args.eval_freq == 0 and (
+                val_factories or fixed_factories):
+            from egom2p_tpu.core.distributed import all_reduce_metrics
             from egom2p_tpu.train.egom2p_train import make_eval_step
             eval_step = jax.jit(make_eval_step(
                 model, args.num_input_tokens, args.num_target_tokens,
                 args.loss_type))
+            fixed_eval_step = jax.jit(make_eval_step(
+                model, args.fixed_eval_input_tokens,
+                args.fixed_eval_target_tokens, args.loss_type))
+
+            def run_eval(factory, step, prefix):
+                accum, n = None, 0
+                it = factory()
+                for _ in range(args.eval_iters):
+                    try:
+                        eb = next(it)
+                    except StopIteration:
+                        break
+                    em = {k: float(v) for k, v in step(state.params,
+                                                       eb).items()}
+                    accum = em if accum is None else {
+                        k: accum[k] + em[k] for k in em}
+                    n += 1
+                if not accum:
+                    return {}
+                return all_reduce_metrics(
+                    {f"{prefix}{k}": v / n for k, v in accum.items()})
+
+            stats = {}
+            for name, factory in val_factories.items():
+                stats.update(run_eval(factory, eval_step, f"val_{name}_"))
             if args.fixed_eval:
-                # deterministic pinned eval batches, same every epoch
-                # (reference fixed_eval loaders, pretrain_utils.py:196-293)
-                if not hasattr(main, "_fixed_batches"):
-                    main._fixed_batches = [next(loader_it)
-                                           for _ in range(args.eval_iters)]
-                eval_batches = main._fixed_batches
-            else:
-                eval_batches = [next(loader_it) for _ in range(args.eval_iters)]
-            accum = None
-            for eb in eval_batches:
-                em = eval_step(state.params, eb)
-                em = {k: float(v) for k, v in em.items()}
-                accum = em if accum is None else {
-                    k: accum[k] + em[k] for k in em}
-            accum = {f"val_{k}": v / args.eval_iters for k, v in accum.items()}
-            print(f"Epoch [{epoch}] eval: " + "  ".join(
-                f"{k}: {v:.4f}" for k, v in accum.items()))
-            jsonl.write({"epoch": epoch, **accum})
+                for name, factory in fixed_factories.items():
+                    stats.update(run_eval(factory, fixed_eval_step,
+                                          f"fixed_eval_{name}_"))
+            if stats:
+                print(f"Epoch [{epoch}] eval: " + "  ".join(
+                    f"{k}: {v:.4f}" for k, v in stats.items()))
+                jsonl.write({"epoch": epoch, **stats})
+                if wandb_logger:
+                    wandb_logger.log(stats, step=int(np.asarray(state.step)))
     if wandb_logger:
         wandb_logger.finish()
     return state
