@@ -96,8 +96,22 @@ def convert_egom2p_state_dict(sd: Dict, flax_params: Dict,
             val = _t(sd["register_tokens"])
         elif p0.startswith("encoder_embeddings_"):
             mod = p0[len("encoder_embeddings_"):]
-            assert path[1] == "token_emb"
-            val = _t(sd[f"encoder_embeddings.{mod}.token_emb.weight"])
+            if path[1] == "token_emb":
+                val = _t(sd[f"encoder_embeddings.{mod}.token_emb.weight"])
+            elif path[1] == "proj":
+                # raw-pixel patch projection (ImageEncoderEmbedding.proj,
+                # reference: encoder_embeddings.py:455-456); bias-free Linear
+                val = _dense(sd, f"encoder_embeddings.{mod}.proj.weight")
+            elif path[1].startswith("emb_proj"):
+                # SequenceEmbEncoderEmbedding.emb_proj: plain Linear, or a
+                # 2-layer bottleneck Sequential (reference: :563-570)
+                base = (f"encoder_embeddings.{mod}.emb_proj"
+                        if path[1] == "emb_proj"
+                        else f"encoder_embeddings.{mod}.emb_proj.{path[1][-1]}")
+                val = (_dense(sd, base + ".weight") if path[-1] == "kernel"
+                       else _t(sd[base + ".bias"]))
+            else:
+                raise KeyError(name)
         elif p0.startswith("decoder_embeddings_"):
             mod = p0[len("decoder_embeddings_"):]
             if path[1] == "token_emb":

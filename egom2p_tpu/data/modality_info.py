@@ -109,6 +109,23 @@ MODALITY_INFO: Dict[str, Dict[str, Any]] = {
     "tok_depth": _video_tok("tok_depth", "depth"),
     "tok_cam": _seq30_tok("tok_cam", "cam", "cam"),
     "tok_gaze": _seq30_tok("tok_gaze", "gaze", "gaze"),
+    # --- raw-pixel encoder modality (reference: modality_info.py:36-46,
+    #     ImageEncoderEmbedding; input-only) ---
+    "rgb@224": {
+        "input_size": 224, "patch_size": 16, "num_channels": 3,
+        "min_tokens": 0, "max_tokens": 196, "type": "img",
+        "id": generate_uint15_hash("rgb@224"),
+        "embed_spec": {"kind": "image_raw", "num_channels": 3,
+                       "patch_size": 16, "image_size": 224},
+    },
+    # --- precomputed text-embedding modality (reference:
+    #     modality_info.py:212-219, SequenceEmbEncoderEmbedding; input-only) ---
+    "t5_caption": {
+        "min_tokens": 0, "max_tokens": 77, "type": "seq_emb",
+        "id": generate_uint15_hash("t5_caption"),
+        "embed_spec": {"kind": "sequence_emb", "max_length": 77,
+                       "orig_emb_dim": 4096},
+    },
     # --- raw (tokenizer-training) modalities ---
     "rgb": {"type": "img", "num_channels": 3, "id": generate_uint15_hash("rgb"), "path": "rgb"},
     "depth": {"type": "img", "num_channels": 1, "id": generate_uint15_hash("depth")},

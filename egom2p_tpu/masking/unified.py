@@ -223,6 +223,40 @@ class UnifiedMasking:
             simple_span_masking)
         return self._pack_seq(input_seq, target_seq, max_tokens, input_budget)
 
+    def sequence_emb_mask_span(self, emb_tensor, max_tokens, input_budget,
+                               target_budget, keep_scheme) -> Dict:
+        """Span-mask a precomputed sequence-embedding tensor (T5/CLIP
+        embeddings).  Input-only — target masking is not supported for
+        sequence embeddings (reference: masking.py:448-518)."""
+        emb_tensor = np.asarray(emb_tensor, dtype=np.float32)
+        # fake token ids that dodge the sentinel range so the shared span
+        # machinery applies (reference: masking.py:463-474)
+        fake_ids: List[int] = []
+        emb_by_id = {}
+        id_num = len(self.sentinel_ids)
+        i = 0
+        while len(fake_ids) < len(emb_tensor):
+            if id_num not in self.sentinel_ids:
+                fake_ids.append(id_num)
+                emb_by_id[id_num] = emb_tensor[i]
+                i += 1
+            id_num += 1
+        fake_ids = fake_ids[:max_tokens]
+        input_seq, _ = self._span_budgeted(fake_ids, input_budget, None,
+                                           keep_scheme, simple_span_masking)
+        E = emb_tensor.shape[1]
+        tensor = np.zeros((max_tokens, E), dtype=np.float32)
+        input_mask = np.ones(max_tokens, dtype=bool)
+        target_mask = np.ones(max_tokens, dtype=bool)
+        attn = np.zeros(max_tokens, dtype=np.int32)
+        for j, fid in enumerate(input_seq):
+            if fid not in self.sentinel_ids:
+                tensor[j] = emb_by_id[fid]
+            # sentinel slots stay zero (reference: masking.py:509-511)
+        input_mask[: len(input_seq)] = False
+        return {"tensor": tensor, "input_mask": input_mask,
+                "target_mask": target_mask, "decoder_attention_mask": attn}
+
     # -------------------------------------------------------------- __call__
     def __call__(self, mod_dict: Dict) -> Dict:
         """(reference: masking.py:519-564)"""
@@ -259,6 +293,10 @@ class UnifiedMasking:
                 out[mod] = self.sequence_token_mask(
                     mod_dict[mod], info["max_tokens"], bi, bt, keep,
                     info.get("vocab_offset", 0))
+            elif mtype == "seq_emb":
+                keep = info["keep"][dir_idx] if "keep" in info else "random"
+                out[mod] = self.sequence_emb_mask_span(
+                    mod_dict[mod], info["max_tokens"], bi, bt, keep)
             else:
                 raise ValueError(f"invalid modality type {mtype}")
         return out

@@ -171,6 +171,78 @@ class SequenceDecoderEmbedding(nn.Module):
         return self.forward_embed(d, mod_emb)
 
 
+class ImagePatchEncoderEmbedding(nn.Module):
+    """Raw-pixel patch-projection encoder embedding
+    (reference: encoder_embeddings.py:395-492).
+
+    TPU layout: channels-last (B, H, W, C).  The bias-free patch projection
+    keeps the modality embedding as the only additive term, like the
+    reference (:455-456).  Per-patch feature order is (ph, pw, C) to match
+    the reference's rearrange '(ph pw d)' so converted weights line up."""
+    num_channels: int
+    patch_size: int
+    image_size: int
+    dim: int
+
+    def setup(self):
+        self.proj = nn.Dense(self.dim, use_bias=False)
+
+    def __call__(self, d: Dict[str, jnp.ndarray], mod_emb: jnp.ndarray,
+                 compute_dtype=jnp.bfloat16):
+        x = d["tensor"]
+        B, H, W, C = x.shape
+        ph = pw = self.patch_size
+        nh, nw = H // ph, W // pw
+        x = x.reshape(B, nh, ph, nw, pw, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, nh * nw, ph * pw * C)
+        x = self.proj(x.astype(compute_dtype))
+        g = self.image_size // self.patch_size
+        pos = jnp.asarray(build_2d_sincos_posemb(g, g, self.dim),
+                          dtype=jnp.float32)
+        emb = jnp.broadcast_to((pos + mod_emb).astype(compute_dtype), x.shape)
+        return x, emb
+
+
+class SequenceEmbEncoderEmbedding(nn.Module):
+    """Adapter for precomputed sequence embeddings (T5-XXL / CLIP text)
+    (reference: encoder_embeddings.py:493-602).  Input-only: the reference
+    defines no decoder counterpart."""
+    max_length: int
+    orig_emb_dim: int
+    dim: int
+    max_sincos_pos_emb: int = 512
+    use_bottleneck: bool = False
+    bottleneck_dim: int = 64
+
+    def setup(self):
+        if self.use_bottleneck:
+            self.emb_proj_0 = nn.Dense(self.bottleneck_dim)
+            self.emb_proj_1 = nn.Dense(self.dim)
+        else:
+            self.emb_proj = nn.Dense(self.dim)
+
+    def __call__(self, d, mod_emb, compute_dtype=jnp.bfloat16):
+        x = d["tensor"].astype(compute_dtype)  # (B, L, E)
+        if self.use_bottleneck:
+            x = self.emb_proj_1(self.emb_proj_0(x))
+        else:
+            x = self.emb_proj(x)
+
+        pos = jnp.asarray(
+            build_1d_sincos_posemb(self.max_sincos_pos_emb,
+                                   self.dim)[:, : self.max_length],
+            dtype=jnp.float32)
+        input_mask = d["input_mask"]
+        pos_id = jnp.cumsum((~input_mask).astype(jnp.int32), axis=1) - 1
+        pos_id = jnp.where(input_mask, 0, pos_id)
+        pos_id = jnp.clip(pos_id, 0, self.max_length - 1)
+        pos_bc = jnp.broadcast_to(pos, (x.shape[0],) + pos.shape[1:])
+        input_pos = jnp.take_along_axis(pos_bc, pos_id[..., None], axis=1)
+        input_pos = jnp.where(input_mask[..., None], 0.0, input_pos)
+        emb = (input_pos + mod_emb).astype(compute_dtype)
+        return x, emb
+
+
 def make_encoder_embedding(spec: Dict, dim: int) -> nn.Module:
     kind = spec["kind"]
     if kind in ("video_token", "image_token"):
@@ -180,6 +252,15 @@ def make_encoder_embedding(spec: Dict, dim: int) -> nn.Module:
     if kind == "sequence":
         return SequenceEncoderEmbedding(spec["vocab_size"], spec["max_length"], dim,
                                         padding_idx=spec.get("padding_idx", 0))
+    if kind == "image_raw":
+        return ImagePatchEncoderEmbedding(
+            spec.get("num_channels", 3), spec["patch_size"],
+            spec["image_size"], dim)
+    if kind == "sequence_emb":
+        return SequenceEmbEncoderEmbedding(
+            spec["max_length"], spec.get("orig_emb_dim", 4096), dim,
+            use_bottleneck=spec.get("use_bottleneck", False),
+            bottleneck_dim=spec.get("bottleneck_dim", 64))
     raise ValueError(kind)
 
 

@@ -421,3 +421,68 @@ def test_egom2p_loss_parity_truncating(egom2p_pair):
                              compute_dtype=jnp.float32)
     assert abs(float(j_loss) - float(t_loss)) < 5e-3, (
         float(j_loss), float(t_loss))
+
+
+# ========================================= raw-pixel + seq-emb embeddings
+def test_image_encoder_embedding_parity():
+    """Raw-pixel ImageEncoderEmbedding vs reference (encoder_embeddings.py:395):
+    converted proj weights + channels-last patchify must match torch."""
+    from egom2p.models.encoder_embeddings import ImageEncoderEmbedding as TorchImg
+
+    from egom2p_tpu.models.embeddings import ImagePatchEncoderEmbedding
+
+    torch.manual_seed(0)
+    tm = TorchImg(num_channels=3, patch_size=16, dim_tokens=64,
+                  image_size=224).eval()
+    jm = ImagePatchEncoderEmbedding(num_channels=3, patch_size=16,
+                                    image_size=224, dim=64)
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 1, (2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        td = tm({"tensor": torch.from_numpy(img)})
+
+    # convert: torch Linear (out, in) -> flax kernel (in, out)
+    w = tm.proj.weight.detach().numpy().T
+    mod_emb = tm.mod_emb.detach().numpy()  # (1, 1, D)
+    params = {"params": {"proj": {"kernel": jnp.asarray(w)}}}
+    img_cl = np.moveaxis(img, 1, -1)  # channels-last for TPU
+    x, emb = jm.apply(params, {"tensor": jnp.asarray(img_cl)},
+                      jnp.asarray(mod_emb), jnp.float32)
+    np.testing.assert_allclose(np.asarray(x), td["x"].numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(emb), td["emb"].numpy(),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_sequence_emb_encoder_embedding_parity():
+    """SequenceEmbEncoderEmbedding vs reference (encoder_embeddings.py:493)."""
+    from egom2p.models.encoder_embeddings import \
+        SequenceEmbEncoderEmbedding as TorchSeqEmb
+
+    from egom2p_tpu.models.embeddings import SequenceEmbEncoderEmbedding
+
+    torch.manual_seed(1)
+    tm = TorchSeqEmb(max_length=16, dim_tokens=64, orig_emb_dim=32).eval()
+    jm = SequenceEmbEncoderEmbedding(max_length=16, orig_emb_dim=32, dim=64)
+
+    rng = np.random.default_rng(1)
+    embs = rng.normal(0, 1, (2, 16, 32)).astype(np.float32)
+    input_mask = np.ones((2, 16), dtype=bool)
+    input_mask[0, :5] = False
+    input_mask[1, :9] = False
+    with torch.no_grad():
+        td = tm({"tensor": torch.from_numpy(embs),
+                 "input_mask": torch.from_numpy(input_mask)})
+
+    params = {"params": {"emb_proj": {
+        "kernel": jnp.asarray(tm.emb_proj.weight.detach().numpy().T),
+        "bias": jnp.asarray(tm.emb_proj.bias.detach().numpy())}}}
+    x, emb = jm.apply(params,
+                      {"tensor": jnp.asarray(embs),
+                       "input_mask": jnp.asarray(input_mask)},
+                      jnp.asarray(tm.mod_emb.detach().numpy()), jnp.float32)
+    np.testing.assert_allclose(np.asarray(x), td["x"].numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(emb), td["emb"].numpy(),
+                               atol=2e-4, rtol=1e-4)
