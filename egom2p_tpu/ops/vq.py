@@ -40,6 +40,8 @@ class VQConfig(NamedTuple):
     use_cosine_sim: bool = True
     norm_latents: bool = False
     kmeans_init: bool = False
+    # 'batch_random' | 'linde_buzo_gray' (reference: quantize_lucid.py:245-261)
+    code_replacement_policy: str = "batch_random"
 
 
 def l2norm(t, eps=1e-12):
@@ -162,13 +164,31 @@ def vq_forward(
             smoothed = (cluster_size + cfg.eps) / (n + cfg.codebook_size * cfg.eps) * n
             embed = embed_avg * (cluster_size / jnp.maximum(smoothed, 1e-9))[:, None]
 
-        # dead-code expiry, batch_random policy
-        # (reference: quantize_lucid.py:370-386)
+        # dead-code expiry (reference: quantize_lucid.py:245-261, 370-386)
         if cfg.threshold_ema_dead_code > 0 and rng is not None:
             expired = cluster_size < cfg.threshold_ema_dead_code
-            n_flat = flat.shape[0]
-            repl_idx = jax.random.randint(rng, (cfg.codebook_size,), 0, n_flat)
-            repl = l2norm(flat[repl_idx])
+            if cfg.code_replacement_policy == "batch_random":
+                # replace dead codes by random latents from the batch
+                n_flat = flat.shape[0]
+                repl_idx = jax.random.randint(rng, (cfg.codebook_size,), 0,
+                                              n_flat)
+                repl = flat[repl_idx]
+            elif cfg.code_replacement_policy == "linde_buzo_gray":
+                # Linde-Buzo-Gray splitting: dead code i takes the i-th
+                # most-used code plus tiny noise (reference:
+                # quantize_lucid.py:239-243); rank computed functionally so
+                # the whole update stays jit-compatible
+                order = jnp.argsort(-cluster_size)
+                rank = jnp.clip(jnp.cumsum(expired.astype(jnp.int32)) - 1,
+                                0, cfg.codebook_size - 1)
+                src = jnp.take(order, rank)
+                noise = jax.random.normal(
+                    rng, (cfg.codebook_size, cfg.dim)) * 1e-10
+                repl = jnp.take(embed, src, axis=0) + noise
+            else:
+                raise ValueError(cfg.code_replacement_policy)
+            if cfg.use_cosine_sim:
+                repl = l2norm(repl)
             embed = jnp.where(expired[:, None], repl, embed)
 
         new_state = VQState(embed=embed, cluster_size=cluster_size,

@@ -179,6 +179,7 @@ def seq_vqvae_from_config(domain: str, rng: jax.Array,
                           threshold_ema_dead_code: float = 0.25,
                           commitment_weight: float = 1.0,
                           kmeans_init: bool = False,
+                          code_replacement_policy: str = "batch_random",
                           dim: int = 768,
                           depth: int = 12,
                           num_heads: int = 12) -> SeqTokenizer:
@@ -203,7 +204,106 @@ def seq_vqvae_from_config(domain: str, rng: jax.Array,
                       decay=ema_decay,
                       threshold_ema_dead_code=threshold_ema_dead_code,
                       commitment_weight=commitment_weight,
-                      use_cosine_sim=True, kmeans_init=kmeans_init)
+                      use_cosine_sim=True, kmeans_init=kmeans_init,
+                      code_replacement_policy=code_replacement_policy)
     vq_state = init_vq_state(vq_cfg, k2)
     return SeqTokenizer(module=module, params=params, vq_cfg=vq_cfg,
                         vq_state=vq_state)
+
+
+class GradVQAutoencoder(nn.Module):
+    """Autoencoder with an internal gradient-trained quantizer (taming VQ or
+    memcodes), selectable like the reference's `quant_type`
+    (reference: egom2p/vq/vqvae.py:169-198).  Wraps any core exposing
+    encode_latents/decode_latents (SeqAutoencoder or VideoAutoencoder)."""
+    core: nn.Module
+    quantizer_type: str  # 'taming' | 'memcodes'
+    codebook_size: int
+    latent_dim: int
+    num_codebooks: int = 1
+    beta: float = 0.25
+
+    def setup(self):
+        if self.quantizer_type == "taming":
+            from egom2p_tpu.ops.quantizers import TamingVectorQuantizer
+            self.quantizer = TamingVectorQuantizer(
+                num_embeddings=self.codebook_size,
+                embedding_dim=self.latent_dim, beta=self.beta)
+        elif self.quantizer_type == "memcodes":
+            from egom2p_tpu.ops.quantizers import Memcodes
+            self.quantizer = Memcodes(dim=self.latent_dim,
+                                      codebook_size=self.codebook_size,
+                                      heads=self.num_codebooks)
+        else:
+            raise ValueError(self.quantizer_type)
+
+    @property
+    def n_channels(self):
+        return self.core.n_channels
+
+    def _flat(self, lat):
+        return lat.reshape(lat.shape[0], -1, lat.shape[-1])
+
+    def quantize(self, lat, training: bool = False, rng=None):
+        flat = self._flat(lat)
+        if self.quantizer_type == "taming":
+            quant, qloss, (tokens, *_rest) = self.quantizer(flat, training,
+                                                            rng)
+        else:
+            quant, qloss, tokens = self.quantizer(flat, training, rng)
+        return quant.reshape(lat.shape), qloss, tokens
+
+    def autoencode_train(self, x, training: bool = False, rng=None):
+        lat = self.core.encode_latents(x, deterministic=not training)
+        quant, qloss, tokens = self.quantize(lat, training, rng)
+        pred = self.core.decode_latents(quant, deterministic=not training)
+        return pred, qloss, tokens
+
+    def tokenize(self, x):
+        lat = self.core.encode_latents(x)
+        _, _, tokens = self.quantize(lat)
+        return tokens
+
+    def decode_tokens(self, tokens):
+        if self.quantizer_type == "taming":
+            quant = self.quantizer.get_codebook_entry(tokens)
+        else:
+            quant = self.quantizer.indices_to_embedding(tokens)
+        B = tokens.shape[0]
+        quant = quant.reshape(B, -1, self.latent_dim)
+        return self.core.decode_latents(self._latgrid(quant))
+
+    def _latgrid(self, flat_quant):
+        """Restore the core's latent grid shape from flat (B, N, D)."""
+        core = self.core
+        if hasattr(core, "tubelet_t"):  # VideoAutoencoder grid
+            t = core.num_frames // core.tubelet_t
+            h = w = core.image_size // core.patch_size
+            return flat_quant.reshape(flat_quant.shape[0], t, h, w,
+                                      self.latent_dim)
+        return flat_quant  # SeqAutoencoder latents are already (B, T', D)
+
+    def __call__(self, x):  # init path
+        pred, _, _ = self.autoencode_train(x)
+        return pred
+
+
+@dataclasses.dataclass
+class GradVQTokenizer:
+    """User-facing tokenizer for gradient-quantizer models (taming/memcodes);
+    same tokenize/decode_tokens/autoencode surface as SeqTokenizer."""
+    module: GradVQAutoencoder
+    params: dict
+
+    def tokenize(self, x) -> jnp.ndarray:
+        return self.module.apply(self.params, x,
+                                 method=GradVQAutoencoder.tokenize)
+
+    def decode_tokens(self, tokens) -> jnp.ndarray:
+        return self.module.apply(self.params, tokens,
+                                 method=GradVQAutoencoder.decode_tokens)
+
+    def autoencode(self, x) -> jnp.ndarray:
+        pred, _, _ = self.module.apply(
+            self.params, x, method=GradVQAutoencoder.autoencode_train)
+        return pred

@@ -178,6 +178,7 @@ def video_vqvae_from_config(domain: str, rng: jax.Array,
                             threshold_ema_dead_code: float = 2.0,
                             commitment_weight: float = 1.0,
                             kmeans_init: bool = False,
+                            code_replacement_policy: str = "batch_random",
                             norm_codes: bool = True,
                             dim: int = 768,
                             depth: int = 12,
@@ -205,7 +206,8 @@ def video_vqvae_from_config(domain: str, rng: jax.Array,
                       decay=ema_decay,
                       threshold_ema_dead_code=threshold_ema_dead_code,
                       commitment_weight=commitment_weight,
-                      use_cosine_sim=norm_codes, kmeans_init=kmeans_init)
+                      use_cosine_sim=norm_codes, kmeans_init=kmeans_init,
+                      code_replacement_policy=code_replacement_policy)
     vq_state = init_vq_state(vq_cfg, k2)
     return VideoVQTokenizer(module=module, params=params, vq_cfg=vq_cfg,
                             vq_state=vq_state)

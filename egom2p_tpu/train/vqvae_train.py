@@ -108,3 +108,43 @@ def init_train_state(params, optimizer, vq_state,
                            vq_state=vq_state, step=jnp.zeros((), jnp.int32),
                            ema_params=(jax.tree_util.tree_map(jnp.array, params)
                                        if use_ema else None))
+
+
+class GradVQTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_grad_vqvae_train_step(module, optimizer,
+                               loss_fn: str = "mse",
+                               codebook_weight: float = 1.0,
+                               axis_name: Optional[str] = None):
+    """Train step for gradient-quantizer models (taming / memcodes): the
+    codebook lives in `params` and learns by backprop, so there is no VQState
+    (reference trains these quantizers the same way, vqvae.py:169-198)."""
+    n_channels = module.n_channels
+
+    def train_step(state: GradVQTrainState, batch: jnp.ndarray,
+                   rng: jax.Array):
+        def loss_and_aux(params):
+            pred, qloss, tokens = module.apply(
+                params, batch, True, rng,
+                method=type(module).autoencode_train)
+            rec = reconst_loss(pred, batch, loss_fn, n_channels)
+            return rec + codebook_weight * qloss, (rec, qloss, tokens)
+
+        (loss, (rec, qloss, tokens)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        usage = jnp.bincount(tokens.reshape(-1),
+                             length=module.codebook_size) > 0
+        metrics = {"loss": loss, "reconst_loss": rec, "code_loss": qloss,
+                   "codebook_usage": jnp.mean(usage.astype(jnp.float32))}
+        return GradVQTrainState(new_params, new_opt, state.step + 1), metrics
+
+    return train_step

@@ -53,7 +53,8 @@ def get_args(argv=None):
     p.add_argument("--codebook_size", type=int, default=256)
     p.add_argument("--latent_dim", type=int, default=32)
     p.add_argument("--norm_codes", type=str2bool, default=True)
-    p.add_argument("--quantizer_type", default="lucid")
+    p.add_argument("--quantizer_type", default="lucid",
+                   choices=["lucid", "taming", "memcodes"])
     p.add_argument("--coef_ema_dead_code", type=float, default=32.0)
     p.add_argument("--code_replacement_policy", default="batch_random")
     p.add_argument("--commitment_weight", type=float, default=1.0)
@@ -111,9 +112,55 @@ def get_args(argv=None):
 
 
 VIDEO_DOMAINS = ("rgb", "depth")
+GRAD_QUANTIZERS = ("taming", "memcodes")
+
+
+def _build_core_module(args):
+    """The encoder/decoder core without a quantizer, for grad-VQ wrapping."""
+    import jax
+
+    if args.domain in VIDEO_DOMAINS:
+        from egom2p_tpu.tokenizers.video_vqvae import VideoAutoencoder
+        core = VideoAutoencoder(
+            n_channels=3 if args.domain == "rgb" else 1,
+            num_frames=args.num_frames, image_size=args.input_size,
+            tubelet_t=args.tubelet_size, patch_size=args.patch_size,
+            latent_dim=args.latent_dim, dim=args.vq_dim, depth=args.vq_depth,
+            num_heads=args.vq_heads)
+        x0_shape = (1, args.num_frames, args.input_size, args.input_size,
+                    core.n_channels)
+    else:
+        from egom2p_tpu.tokenizers.seq_vqvae import SeqAutoencoder
+        n_channels, mask_input = (9, False) if args.domain == "cam" else (2, True)
+        core = SeqAutoencoder(
+            n_channels=n_channels, num_frames=args.num_frames,
+            latent_dim=args.latent_dim,
+            temporal_compress=args.temporal_downsampling,
+            mask_input=mask_input, dim=args.vq_dim, depth=args.vq_depth,
+            num_heads=args.vq_heads)
+        x0_shape = (1, args.num_frames, n_channels + (1 if mask_input else 0))
+    return core, x0_shape
+
+
+def build_grad_tokenizer(args, rng):
+    """Gradient-quantizer variant (reference quant_type selection,
+    egom2p/vq/vqvae.py:169-198): taming VQ or memcodes."""
+    import jax
+    import jax.numpy as jnp
+    from egom2p_tpu.tokenizers.seq_vqvae import (GradVQAutoencoder,
+                                                 GradVQTokenizer)
+
+    core, x0_shape = _build_core_module(args)
+    module = GradVQAutoencoder(core=core, quantizer_type=args.quantizer_type,
+                               codebook_size=args.codebook_size,
+                               latent_dim=args.latent_dim)
+    params = module.init(rng, jnp.zeros(x0_shape, jnp.float32))
+    return GradVQTokenizer(module=module, params=params)
 
 
 def build_tokenizer(args, rng):
+    if args.quantizer_type in GRAD_QUANTIZERS:
+        return build_grad_tokenizer(args, rng)
     if args.domain in VIDEO_DOMAINS:
         from egom2p_tpu.tokenizers.video_vqvae import video_vqvae_from_config
 
@@ -126,6 +173,7 @@ def build_tokenizer(args, rng):
                                           # threshold (run_training_vqvae.py:391)
             commitment_weight=args.commitment_weight,
             kmeans_init=args.kmeans_init, norm_codes=args.norm_codes,
+            code_replacement_policy=args.code_replacement_policy,
             dim=args.vq_dim, depth=args.vq_depth, num_heads=args.vq_heads)
     from egom2p_tpu.tokenizers.seq_vqvae import seq_vqvae_from_config
 
@@ -138,6 +186,7 @@ def build_tokenizer(args, rng):
                                  / args.codebook_size),
         commitment_weight=args.commitment_weight,
         kmeans_init=args.kmeans_init,
+        code_replacement_policy=args.code_replacement_policy,
         dim=args.vq_dim, depth=args.vq_depth, num_heads=args.vq_heads)
 
 
@@ -154,10 +203,11 @@ def load_tokenizer_state(tok, path, domain):
     from egom2p_tpu.core.checkpoint import load_checkpoint
     state = load_checkpoint(path)
     tok.params = state["params"]
-    vq = state["vq_state"]
-    tok.vq_state = VQState(embed=jnp.asarray(vq["embed"]),
-                           cluster_size=jnp.asarray(vq["cluster_size"]),
-                           initted=jnp.asarray(vq["initted"]))
+    if "vq_state" in state and hasattr(tok, "vq_state"):
+        vq = state["vq_state"]
+        tok.vq_state = VQState(embed=jnp.asarray(vq["embed"]),
+                               cluster_size=jnp.asarray(vq["cluster_size"]),
+                               initted=jnp.asarray(vq["initted"]))
     return tok
 
 
@@ -174,13 +224,17 @@ def prepare_samples(args, path: str) -> (np.ndarray, str):
     if args.domain == "cam":
         if data.ndim == 3 and data.shape[-2:] == (4, 4):
             data = canonicalize_cam(data)
-        x = normalize_cam(data)[None].astype(np.float32)
+        elif data.ndim == 4 and data.shape[-2:] == (4, 4):
+            data = np.stack([canonicalize_cam(d) for d in data])
+        x = normalize_cam(data).astype(np.float32)
     else:
         if data.shape[-1] == 2:
             # holoassist example params (reference: gaze_dataset.py:105-110)
             data = convert_gaze(data, orig_res=[896, 504],
                                 resize_res=[896, 504], new_res=[480, 480])
-        x = data[None].astype(np.float32)
+        x = data.astype(np.float32)
+    if x.ndim == 2:  # single clip (T, C) -> batch of one; (N, T, C) stays
+        x = x[None]
     return x, name
 
 
@@ -234,13 +288,17 @@ def run_tokenize(args):
     out_dir = os.path.join(args.tokenize_save_path, "token")
     os.makedirs(out_dir, exist_ok=True)
     if args.recon:
-        rec = np.asarray(tok.autoencode(x))[0]
+        rec = np.asarray(tok.autoencode(x))
+        if rec.shape[0] == 1:
+            rec = rec[0]
         rec = (denormalize_cam(rec) if args.domain == "cam"
                else denormalize_gaze(rec))
         out = os.path.join(out_dir, f"{name}.npy")
         np.save(out, rec)
     else:
-        tokens = np.asarray(tok.tokenize(x))[0].astype(np.int16)
+        tokens = np.asarray(tok.tokenize(x)).astype(np.int16)
+        if tokens.shape[0] == 1:
+            tokens = tokens[0]
         out = os.path.join(out_dir, f"{name}.npz")
         np.savez(out, tokens)
     print(f"saved {out}")
@@ -255,7 +313,9 @@ def eval_image_log(args, tok, state, epoch, dataset):
 
     out_dir = os.path.join(args.output_dir, "image_logs")
     os.makedirs(out_dir, exist_ok=True)
-    tok.params, tok.vq_state = state.params, state.vq_state
+    tok.params = state.params
+    if hasattr(state, "vq_state"):
+        tok.vq_state = state.vq_state
     gt = dataset[0][None]
     rec = np.asarray(jax.device_get(tok.autoencode(gt)))[0]
     paths = []
@@ -325,13 +385,23 @@ def run_train(args):
                     b2=args.opt_betas[1], weight_decay=args.weight_decay))
     percept = None
     if video_domain and args.percept_loss_weight > 0.0:
-        from egom2p_tpu.core.metrics import make_perceptual_loss
+        from egom2p_tpu.core.image_metrics import make_perceptual_loss
         percept = make_perceptual_loss(args.percept_loss_type)
-    step_fn = jax.jit(make_vqvae_train_step(
-        tok.module, tok.vq_cfg, optimizer, loss_fn=args.loss_fn,
-        codebook_weight=args.codebook_weight,
-        percept_loss=percept, percept_weight=args.percept_loss_weight))
-    state = init_train_state(tok.params, optimizer, tok.vq_state)
+    grad_vq = args.quantizer_type in GRAD_QUANTIZERS
+    if grad_vq:
+        from egom2p_tpu.train.vqvae_train import (GradVQTrainState,
+                                                  make_grad_vqvae_train_step)
+        step_fn = jax.jit(make_grad_vqvae_train_step(
+            tok.module, optimizer, loss_fn=args.loss_fn,
+            codebook_weight=args.codebook_weight))
+        state = GradVQTrainState(tok.params, optimizer.init(tok.params),
+                                 jax.numpy.zeros((), jax.numpy.int32))
+    else:
+        step_fn = jax.jit(make_vqvae_train_step(
+            tok.module, tok.vq_cfg, optimizer, loss_fn=args.loss_fn,
+            codebook_weight=args.codebook_weight,
+            percept_loss=percept, percept_weight=args.percept_loss_weight))
+        state = init_train_state(tok.params, optimizer, tok.vq_state)
 
     start_epoch = 0
     if args.auto_resume and not args.resume:
@@ -363,10 +433,10 @@ def run_train(args):
                      **{k: v.global_avg for k, v in logger.meters.items()}})
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch == args.epochs - 1:
             tag = epoch if epoch != args.epochs - 1 else "final"
-            save_checkpoint(args.output_dir, tag, {
-                "params": state.params,
-                "vq_state": state.vq_state._asdict(),
-            })
+            payload = {"params": state.params}
+            if not grad_vq:
+                payload["vq_state"] = state.vq_state._asdict()
+            save_checkpoint(args.output_dir, tag, payload)
         if video_domain and (
                 epoch == args.epochs - 1
                 or (args.image_log_freq
