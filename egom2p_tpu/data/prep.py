@@ -103,3 +103,88 @@ def compute_cam_stats(cam_9d_windows: np.ndarray):
     (how CAM_MEAN/CAM_STD were produced, reference: data_constants.py:46)."""
     flat = cam_9d_windows.reshape(-1, 9)
     return flat.mean(0), flat.std(0)
+
+
+# ------------------------------------------------- HoloAssist eye projection
+# camera-axis convention used by the HoloAssist exports
+# (reference: holoassist_eye_proj.py:9-10)
+AXIS_TRANSFORM = np.linalg.inv(
+    np.array([[0, 0, 1, 0], [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]],
+             dtype=np.float64))
+
+
+def read_gaze_txt(path: str) -> np.ndarray:
+    """Tab-separated eye export (id, ts, origin xyz, direction xyz, ...)
+    (reference: holoassist_eye_proj.py:38-48)."""
+    rows = []
+    with open(path) as f:
+        for line in f.read().split("\n"):
+            if not line:
+                break
+            rows.append(list(map(float, line.strip().split("\t"))))
+    return np.asarray(rows)
+
+
+def read_intrinsics_txt(path: str):
+    """(reference: holoassist_eye_proj.py:30-36)."""
+    with open(path) as f:
+        data = list(map(float, f.read().split("\t")))
+    return np.asarray(data[:9]).reshape(3, 3), data[-2], data[-1]
+
+
+def get_eye_gaze_point(gaze_row: np.ndarray, dist: float = 0.5) -> np.ndarray:
+    """World-space gaze point = origin + dist * normalized direction
+    (reference: holoassist_eye_proj.py:50-56; 50 cm default)."""
+    origin = gaze_row[2:5]
+    direction = gaze_row[5:8]
+    direction = direction / np.linalg.norm(direction)
+    return origin + direction * dist
+
+
+def project_eye_gaze(gaze_rows: np.ndarray, cam_poses: np.ndarray,
+                     intrinsics: np.ndarray, eye_dist: float = 0.5
+                     ) -> np.ndarray:
+    """Project per-frame world gaze points into the image
+    (reference: holoassist_eye_proj.py:99-114): transform by the inverse
+    camera pose and the HoloLens axis convention, then pinhole-project (the
+    reference's cv2.projectPoints with zero rvec/tvec/distortion).
+
+    gaze_rows: (T, >=8) eye export rows; cam_poses: (T, 4, 4) world-from-
+    camera poses; intrinsics: (3, 3).  Returns (T, 2) pixel coordinates."""
+    n = min(len(gaze_rows), len(cam_poses))
+    out = np.zeros((n, 2), dtype=np.float64)
+    for t in range(n):
+        point = get_eye_gaze_point(gaze_rows[t], eye_dist)
+        p = AXIS_TRANSFORM @ (np.linalg.inv(cam_poses[t])
+                              @ np.concatenate([point, [1.0]]))
+        uvw = intrinsics @ (p[:3] / p[2])
+        out[t] = uvw[:2] / uvw[2]
+    return out
+
+
+def is_neighbor(file1: str, file2: str) -> bool:
+    """Consecutively-numbered clip files (reference: load_cam.py:11-15)."""
+    parts1, parts2 = file1.split("_"), file2.split("_")
+    return (parts1[:-1] == parts2[:-1]
+            and int(parts1[-1].split(".")[0])
+            - int(parts2[-1].split(".")[0]) == -1)
+
+
+def concat_neighbor_windows(files: Sequence[str], load_fn,
+                            stride: int = 10, clip_len: int = 60
+                            ) -> List[np.ndarray]:
+    """Concatenate consecutive clip files and cut overlapping windows across
+    their boundary (reference: load_cam.py:89-108): doubles the effective
+    windows near clip seams without fabricating discontinuous data."""
+    files = sorted(files, key=natural_sort_key)
+    windows: List[np.ndarray] = []
+    for a, b in zip(files, files[1:]):
+        if not is_neighbor(os.path.basename(a), os.path.basename(b)):
+            continue
+        ta, tb = load_fn(a), load_fn(b)
+        if np.isnan(ta).any() or np.isnan(tb).any():
+            continue
+        combined = np.concatenate([ta, tb], axis=0)
+        windows.extend(temporal_overlap_augmentation(combined, stride,
+                                                     clip_len))
+    return windows
