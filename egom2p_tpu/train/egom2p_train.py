@@ -110,12 +110,47 @@ def make_eval_step(model: EgoM2P, num_input_tokens: int,
 
 
 # ---------------------------------------------------------------- sharding
-def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
-    """Replicate params/opt state across the mesh (pure data parallelism, the
-    only model-training parallelism the reference uses, SURVEY.md §2.5);
-    parameter sharding for TP/FSDP can be layered in here later."""
+def fsdp_spec(shape, n_shard: int, min_size: int = 2 ** 16) -> P:
+    """ZeRO/FSDP-style sharding rule for one parameter tensor: shard the
+    largest dimension divisible by the data-axis size; small tensors stay
+    replicated (their all-gather would cost more than it saves).
+
+    The reference ships unused torch-FSDP plumbing (egom2p/utils/
+    fsdp_utils.py:33-116); here parameter sharding is a pure sharding
+    annotation — XLA's SPMD partitioner inserts the all-gathers for compute
+    and keeps the persistent copy (params + optimizer moments) sharded."""
+    import numpy as np
+    if int(np.prod(shape)) < min_size:
+        return REPLICATED_SPEC
+    dims = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for d in dims:
+        if shape[d] % n_shard == 0:
+            spec = [None] * len(shape)
+            spec[d] = "data"
+            return P(*spec)
+    return REPLICATED_SPEC
+
+
+def state_shardings(mesh: Mesh, state: TrainState,
+                    fsdp: bool = False) -> TrainState:
+    """Param/optimizer-state shardings.
+
+    fsdp=False: fully replicated (pure data parallelism — the only
+    model-training parallelism the reference uses, SURVEY.md §2.5).
+    fsdp=True : params AND optimizer moments sharded over the data axis by
+    fsdp_spec; gradients reduce-scatter and weights all-gather implicitly."""
     repl = NamedSharding(mesh, REPLICATED_SPEC)
-    return jax.tree_util.tree_map(lambda _: repl, state)
+    if not fsdp:
+        return jax.tree_util.tree_map(lambda _: repl, state)
+    n_shard = mesh.shape["data"]
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", ())
+        if not shape:
+            return repl
+        return NamedSharding(mesh, fsdp_spec(shape, n_shard))
+
+    return jax.tree_util.tree_map(leaf_sharding, state)
 
 
 def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
@@ -123,9 +158,10 @@ def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
     return jax.tree_util.tree_map(lambda _: shard, batch)
 
 
-def jit_train_step(mesh: Mesh, train_step, state: TrainState, batch: Dict):
+def jit_train_step(mesh: Mesh, train_step, state: TrainState, batch: Dict,
+                   fsdp: bool = False):
     """Jit the step with explicit in/out shardings over the mesh."""
-    st_sh = state_shardings(mesh, state)
+    st_sh = state_shardings(mesh, state, fsdp=fsdp)
     b_sh = batch_shardings(mesh, batch)
     repl = NamedSharding(mesh, REPLICATED_SPEC)
     metrics_sh = None  # let the compiler pick (scalars)

@@ -38,6 +38,10 @@ def get_args(argv=None):
     p.add_argument("--model", default="egom2p_base_12e_12d_swiglu_nobias")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--num_register_tokens", type=int, default=0)
+    p.add_argument("--fsdp", type=str2bool, default=False,
+                   help="shard params + optimizer moments over the data "
+                        "axis (ZeRO-style; reference ships unused FSDP "
+                        "plumbing, fsdp_utils.py:33-116)")
     p.add_argument("--use_act_checkpoint", type=str2bool, default=True,
                    help="rematerialize blocks in backward (needed at batch>=8 "
                         "on 16GB chips)")
@@ -424,7 +428,8 @@ def main(args):
     step_fn = make_train_step(model, optimizer, args.num_input_tokens,
                               args.num_target_tokens, args.loss_type,
                               accum_steps=args.accum_steps)
-    jstep = jit_train_step(mesh, step_fn, state, first_batch)
+    jstep = jit_train_step(mesh, step_fn, state, first_batch,
+                           fsdp=args.fsdp)
 
     jsonl = JsonlLogger(args.output_dir)
     wandb_logger = WandbLogger(args) if args.log_wandb else None

@@ -121,3 +121,61 @@ def test_vqvae_codebook_sync_shard_map():
                        atol=1e-5)
     assert np.allclose(np.asarray(ref_state.cluster_size),
                        np.asarray(sh_state.cluster_size), atol=1e-5)
+
+
+def test_fsdp_matches_replicated():
+    """FSDP param/moment sharding must produce the same step as replicated
+    data parallelism (it only changes the storage layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _make_batch
+    from egom2p_tpu.core.mesh import MeshConfig, make_mesh
+    from egom2p_tpu.core.optim import create_optimizer
+    from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler
+    from egom2p_tpu.data.modality_info import make_scaled_modality_info
+    from egom2p_tpu.models.egom2p import create_model
+    from egom2p_tpu.train.egom2p_train import (init_train_state,
+                                               jit_train_step, make_train_step)
+
+    mesh = make_mesh(MeshConfig(replica=1, data=-1))
+    mods = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+    info = make_scaled_modality_info()
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=mods, out_domains=mods,
+                         modality_info=info)
+    batch = _make_batch(8, mods, info, 24, 24)
+    params = model.init(jax.random.PRNGKey(0), batch, 24, 24)
+    sched = as_optax_schedule(cosine_scheduler(1e-3, 0.0, 1, 4))
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for fsdp in (False, True):
+        # fresh copies: jit_train_step donates the state buffers
+        p = jax.tree_util.tree_map(jnp.array, params)
+        optimizer = create_optimizer(p, sched, weight_decay=0.05,
+                                     clip_grad=1.0)
+        state = init_train_state(p, optimizer)
+        step = make_train_step(model, optimizer, 24, 24, "mod")
+        jstep = jit_train_step(mesh, step, state, batch, fsdp=fsdp)
+        new_state, metrics = jstep(state, batch, rng)
+        results[fsdp] = (float(metrics["loss"]),
+                         jax.tree_util.tree_map(np.asarray, new_state.params))
+
+    # sharded collectives reorder float reductions; differences must stay at
+    # numerical-noise level (adam normalization amplifies grad eps slightly)
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(results[False][1]),
+                    jax.tree_util.tree_leaves(results[True][1])):
+        np.testing.assert_allclose(a, b, atol=1e-4)  # < 10% of one lr step
+
+
+def test_fsdp_actually_shards_large_params():
+    from jax.sharding import PartitionSpec as P
+
+    from egom2p_tpu.train.egom2p_train import fsdp_spec
+    assert fsdp_spec((64000, 768), 8) == P("data", None)
+    assert fsdp_spec((768, 2048), 8) == P(None, "data")
+    assert fsdp_spec((7,), 8) == P()          # too small
+    assert fsdp_spec((130001, 3), 8) == P()   # no divisible dim
