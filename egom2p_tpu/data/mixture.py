@@ -44,6 +44,22 @@ class DatasetStream:
         self.masking = masking
         self._it = iter(self.factory())
 
+    def reseed(self, worker_seed: int) -> None:
+        """Give this (forked) copy of the stream an independent sample order:
+        reseeds the masking rng and, when the factory accepts a `seed` kwarg,
+        rebuilds the raw iterator with a worker-specific shuffle (the
+        reference splits wds shards per DataLoader worker,
+        unified_datasets.py:373-398)."""
+        import inspect
+        self.masking.rng = np.random.default_rng(worker_seed)
+        try:
+            if "seed" in inspect.signature(self.factory).parameters:
+                self._it = iter(self.factory(seed=worker_seed))
+                return
+        except (TypeError, ValueError):
+            pass
+        self._it = iter(self.factory())
+
     def __next__(self):
         try:
             raw = next(self._it)
@@ -59,15 +75,20 @@ class MixtureLoader:
     def __init__(self, streams: Sequence[DatasetStream],
                  weights: Optional[Sequence[float]],
                  all_modality_info: Dict, batch_size: int,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2, num_workers: int = 0):
         self.streams = list(streams)
         w = np.asarray(weights if weights is not None
                        else [1.0] * len(streams), dtype=np.float64)
         self.weights = w / w.sum()
         self.all_info = all_modality_info
         self.batch_size = batch_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        # 0 = single background thread (dev/tests); N>0 = N forked worker
+        # processes, the TPU-host equivalent of the reference's multi-worker
+        # DataLoaders (unified_datasets.py:373-398)
+        self.num_workers = num_workers
 
     def _one_sample(self) -> Dict:
         idx = int(self.rng.choice(len(self.streams), p=self.weights))
@@ -92,9 +113,44 @@ class MixtureLoader:
             batch[mod]["tensor"] = batch[mod]["tensor"].astype(np.int32)
         return batch
 
+    # ------------------------------------------------- multi-process workers
+    def _worker_loop(self, mpq, worker_id: int) -> None:
+        """Runs in a forked child: independent rng + reseeded streams, pushes
+        ready batches to the parent."""
+        try:
+            self.rng = np.random.default_rng(
+                self.seed + 1000 * (worker_id + 1))
+            for s in self.streams:
+                s.reseed(self.seed + 1000 * (worker_id + 1) + hash(s.name) % 997)
+            while True:
+                mpq.put(self._one_batch())
+        except Exception as e:  # pragma: no cover - surfaced in consumer
+            mpq.put(e)
+
+    def _iter_multiprocess(self) -> Iterator[Dict]:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        q = ctx.Queue(maxsize=max(self.prefetch, self.num_workers))
+        procs = [ctx.Process(target=self._worker_loop, args=(q, w),
+                             daemon=True)
+                 for w in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            for p in procs:
+                p.terminate()
+
     def __iter__(self) -> Iterator[Dict]:
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess()
+            return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
 
         def worker():
             try:

@@ -67,6 +67,9 @@ def get_args(argv=None):
     # Data
     p.add_argument("--data_config", default=None)
     p.add_argument("--epoch_size", type=int, default=1_000_000)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="forked data-loader worker processes (reference "
+                        "DataLoader num_workers); 0 = in-process thread")
     p.add_argument("--eval_freq", type=int, default=1)
     # reference defaults fixed_eval ON with pinned 128/128 budgets
     # (reference: run_training_egom2p.py:166-173)
@@ -197,16 +200,20 @@ def setup_data(args, mesh):
             buf = dcfg.get("wds_shuffle_buffer_tar", 1000)
             pyr = pyrandom.Random(args.seed)
 
-            def factory(per_mod=per_mod, n_rep=n_rep, buf=buf, pyr=pyr):
+            def factory(seed=None, per_mod=per_mod, n_rep=n_rep, buf=buf,
+                        pyr=pyr):
+                # worker processes pass their own seed for an independent
+                # shuffle order (see MixtureLoader num_workers)
+                r = pyrandom.Random(seed) if seed is not None else pyr
                 return shuffled(
                     repeated(lambda: multi_tarfile_samples(per_mod), n_rep),
-                    buf, pyr)
+                    buf, r)
 
             streams.append(DatasetStream(name, factory, masking))
 
     info_all = {m: MODALITY_INFO[m] for m in sorted(all_domains)}
     loader = MixtureLoader(streams, weights, info_all, global_batch,
-                           seed=args.seed)
+                           seed=args.seed, num_workers=args.num_workers)
     return loader, sorted(all_domains)
 
 

@@ -100,3 +100,49 @@ def test_prepare_aligned_shards_cli(tmp_path):
         ka = [n.split(".")[0] for n in a.getnames()]
         kb = [n.split(".")[0] for n in b.getnames()]
         assert ka == kb
+
+
+def test_mixture_loader_multiprocess_workers():
+    """num_workers>0 must yield valid fixed-shape batches from forked
+    workers with independent sample orders (weak item: single-threaded
+    input pipeline)."""
+    import numpy as np
+
+    from egom2p_tpu.data.mixture import DatasetStream, MixtureLoader
+    from egom2p_tpu.data.modality_info import make_scaled_modality_info
+    from egom2p_tpu.masking.unified import UnifiedMasking
+
+    info = make_scaled_modality_info()
+    for m in info:
+        info[m]["input_alphas"] = [1.0]
+        info[m]["target_alphas"] = [1.0]
+    rng = np.random.default_rng(0)
+    pool = [{m: rng.integers(0, info[m]["vocab_size"],
+                             size=info[m]["max_tokens"]).astype(np.int32)
+             for m in info} for _ in range(32)]
+
+    def factory(seed=None):
+        order = (np.random.default_rng(seed).permutation(len(pool))
+                 if seed is not None else range(len(pool)))
+
+        def gen():
+            while True:
+                for i in order:
+                    yield pool[i]
+        return gen()
+
+    masking = UnifiedMasking(info, None, 16, 16, seed=0)
+    loader = MixtureLoader([DatasetStream("p", factory, masking)], None,
+                           info, batch_size=4, seed=0, num_workers=2)
+    it = iter(loader)
+    batches = [next(it) for _ in range(4)]
+    for b in batches:
+        assert set(b) == set(info)
+        for m in b:
+            assert b[m]["tensor"].shape[0] == 4
+            assert b[m]["tensor"].dtype == np.int32
+    # workers must not produce identical masking streams: at least one pair
+    # of batches differs
+    flat = [np.concatenate([b[m]["input_mask"].ravel() for m in sorted(b)])
+            for b in batches]
+    assert any(not np.array_equal(flat[0], f) for f in flat[1:])
