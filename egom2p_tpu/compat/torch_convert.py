@@ -336,3 +336,90 @@ def load_cosmos_dv_pth(encoder_path: str, decoder_path: str = None, cfg=None):
     params = convert_cosmos_state_dict(sd, shapes)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return CausalVideoTokenizer(params, cfg)
+
+
+def load_divae_encoder_warm_start(safetensors_path: str, params: Dict,
+                                  verbose: bool = True) -> Dict:
+    """Warm-start a video VQ-VAE encoder from 4M DiVAE rgb-tokenizer weights
+    (reference: egom2p/vq/vqvae.py:501-554, --init_weights):
+
+      * the conv2d patch projection initializes the CENTRAL temporal frame of
+        the conv3d tubelet projection (other frames keep their init),
+      * transformer blocks copy norm1/attn.qkv/attn.proj/norm2/mlp.fc1/fc2,
+      * quant_proj takes the 1x1 conv2d kernel.
+
+    Keys absent from this tree (the reference's norm_mlp/post_mlp of the 2D
+    encoder) are skipped with a report — the reference's copy is equally
+    partial.  Requires the DiVAE safetensors file locally (zero-egress env)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+
+    sd = load_file(safetensors_path)
+    p = params["params"]
+    enc = p["encoder"]
+    copied, skipped = [], []
+
+    def put(dst, key, value):
+        tgt = dst[key]
+        assert tgt.shape == value.shape, (key, tgt.shape, value.shape)
+        dst[key] = jnp.asarray(np.asarray(value, dtype=np.float32))
+        copied.append(key)
+
+    # central-frame conv3d init (reference: vqvae.py:512-517)
+    if "encoder.proj.weight" in sd and "patch_embed" in enc:
+        w2d = sd["encoder.proj.weight"]            # (D, C, p, p)
+        k = np.array(enc["patch_embed"]["kernel"])  # (t, p, p, C, D)
+        t_mid = k.shape[0] // 2
+        k[:] = 0.0
+        k[t_mid] = w2d.transpose(2, 3, 1, 0)
+        enc["patch_embed"]["kernel"] = jnp.asarray(k)
+        copied.append("patch_embed.kernel")
+        if "encoder.proj.bias" in sd and "bias" in enc["patch_embed"]:
+            put(enc["patch_embed"], "bias", sd["encoder.proj.bias"])
+
+    n_blocks = len([k for k in enc if k.startswith("blocks_")])
+    for i in range(n_blocks):
+        blk = enc.get(f"blocks_{i}")
+        base = f"encoder.blocks.{i}"
+        pairs = [
+            (("norm1", "scale"), f"{base}.norm1.weight", None),
+            (("norm1", "bias"), f"{base}.norm1.bias", None),
+            (("attn", "qkv", "kernel"), f"{base}.attn.qkv.weight", "T"),
+            (("attn", "qkv", "bias"), f"{base}.attn.qkv.bias", None),
+            (("attn", "proj", "kernel"), f"{base}.attn.proj.weight", "T"),
+            (("attn", "proj", "bias"), f"{base}.attn.proj.bias", None),
+            (("norm2", "scale"), f"{base}.norm2.weight", None),
+            (("norm2", "bias"), f"{base}.norm2.bias", None),
+            (("mlp", "fc1", "kernel"), f"{base}.mlp.fc1.weight", "T"),
+            (("mlp", "fc1", "bias"), f"{base}.mlp.fc1.bias", None),
+            (("mlp", "fc2", "kernel"), f"{base}.mlp.fc2.weight", "T"),
+            (("mlp", "fc2", "bias"), f"{base}.mlp.fc2.bias", None),
+        ]
+        for path, tkey, tr in pairs:
+            if tkey not in sd:
+                skipped.append(tkey)
+                continue
+            dst = blk
+            for seg in path[:-1]:
+                if seg not in dst:
+                    dst = None
+                    break
+                dst = dst[seg]
+            if dst is None or path[-1] not in dst:
+                skipped.append(tkey)
+                continue
+            val = sd[tkey].T if tr else sd[tkey]
+            put(dst, path[-1], val)
+
+    # quant_proj: 1x1 conv2d (latent, D, 1, 1) or linear -> Dense kernel
+    if "quant_proj.weight" in sd and "quant_proj" in p:
+        w = sd["quant_proj.weight"]
+        w = w.reshape(w.shape[0], -1)  # (latent, D)
+        put(p["quant_proj"], "kernel", w.T)
+        if "quant_proj.bias" in sd and "bias" in p["quant_proj"]:
+            put(p["quant_proj"], "bias", sd["quant_proj.bias"])
+
+    if verbose:
+        print(f"DiVAE warm start: copied {len(copied)} tensors, "
+              f"skipped {len(skipped)} reference keys without a target")
+    return {"params": p}

@@ -82,3 +82,34 @@ def freeze_until(frozen_steps: int, frozen_mask) -> optax.GradientTransformation
         return new, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def freeze_modules_mask(params, module_names=("encoder", "quant_proj")):
+    """True for params under the given top-level module names — the
+    reference's FREEZE_MODULES encoder freeze for VQ-VAE finetuning
+    (reference: egom2p/vq/vqvae.py:32, 200-223)."""
+    import jax
+
+    def is_frozen(path, _):
+        for seg in path:
+            name = getattr(seg, "key", None)
+            if name in module_names:
+                return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+
+def freeze_masked(frozen_mask) -> optax.GradientTransformation:
+    """Permanently zero updates for masked params (freeze_enc semantics)."""
+    import jax
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        new = jax.tree_util.tree_map(
+            lambda u, frozen: u * 0.0 if frozen else u, updates, frozen_mask)
+        return new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -134,7 +134,66 @@ MODALITY_INFO: Dict[str, Dict[str, Any]] = {
     # --- sequence modalities (span masking machinery; finetunes) ---
     "caption": _text_seq("caption"),
     "det": _text_seq("det"),
-    # --- legacy 4M image-token modalities (checkpoint compatibility) ---
+    # --- legacy 4M modalities (checkpoint key compatibility; reference:
+    #     modality_info.py:86-441) ---
     "tok_rgb@224": _image_tok("tok_rgb@224", 16384),
     "tok_depth@224": _image_tok("tok_depth@224", 8192),
+    "tok_normal@224": _image_tok("tok_normal@224", 8192),
+    "tok_semseg@224": _image_tok("tok_semseg@224", 4096),
+    "tok_clip@224": _image_tok("tok_clip@224", 8192),
+    "tok_canny_edge@224": _image_tok("tok_canny_edge@224", 8192),
+    "tok_sam_edge@224": _image_tok("tok_sam_edge@224", 8192),
+    "tok_dinov2@224": _image_tok("tok_dinov2@224", 8192, patch_size=14),
+    "tok_imagebind@224": _image_tok("tok_imagebind@224", 8192, patch_size=14),
+    "rgb@448": {
+        "input_size": 448, "patch_size": 16, "num_channels": 3,
+        "min_tokens": 0, "max_tokens": 784, "type": "img",
+        "id": generate_uint15_hash("rgb@448"),
+        "embed_spec": {"kind": "image_raw", "num_channels": 3,
+                       "patch_size": 16, "image_size": 448},
+    },
+    "tok_rgb@448": _image_tok("tok_rgb@448", 16384, input_size=448),
+    "tok_depth@448": _image_tok("tok_depth@448", 8192, input_size=448),
+    "tok_normal@448": _image_tok("tok_normal@448", 8192, input_size=448),
+    "tok_semseg@448": _image_tok("tok_semseg@448", 4096, input_size=448),
+    "tok_clip@448": _image_tok("tok_clip@448", 8192, input_size=448),
+    # global feature tokens: 4x4 grids with learned (non-sincos) posembs in
+    # the reference; the fixed-grid embedding covers checkpoint shape compat
+    "tok_dinov2_global": _image_tok("tok_dinov2_global", 8192,
+                                    input_size=224, patch_size=56),
+    "tok_imagebind_global": _image_tok("tok_imagebind_global", 8192,
+                                       input_size=224, patch_size=56),
+    # legacy text-ish sequence modalities (shared 30k WordPiece vocab)
+    "metadata": dict(_text_seq("metadata"), max_tokens=40, path="metadata",
+                     embed_spec={"kind": "sequence", "vocab_size": 30_000,
+                                 "max_length": 40, "padding_idx": 0}),
+    "human_poses": dict(_text_seq("human_poses"), max_tokens=275,
+                        embed_spec={"kind": "sequence", "vocab_size": 30_000,
+                                    "max_length": 275, "padding_idx": 0}),
+    "color_palette": dict(_text_seq("color_palette"), max_tokens=23,
+                          path="color_palette",
+                          embed_spec={"kind": "sequence",
+                                      "vocab_size": 30_000,
+                                      "max_length": 23, "padding_idx": 0}),
+    "sam_instance": dict(_text_seq("sam_instance"), max_tokens=290,
+                         embed_spec={"kind": "sequence",
+                                     "vocab_size": 30_000,
+                                     "max_length": 290, "padding_idx": 0}),
+    # tokenizer-training-side raw modalities (no transformer embeddings)
+    "normal": {"type": "img", "num_channels": 3,
+               "id": generate_uint15_hash("normal")},
+    "semseg_coco": {"type": "img", "num_channels": 64,
+                    "id": generate_uint15_hash("semseg_coco")},
+    "sam_mask": {"type": "img", "num_channels": 1, "min_tokens": 0,
+                 "max_tokens": 64, "id": generate_uint15_hash("sam_mask")},
+    "CLIP-B16": {"type": "feature_map", "num_channels": 512,
+                 "id": generate_uint15_hash("CLIP-B16")},
+    "DINOv2-B14": {"type": "feature_map",
+                   "id": generate_uint15_hash("DINOv2-B14")},
+    "ImageBind-H14": {"type": "feature_map",
+                      "id": generate_uint15_hash("ImageBind-H14")},
+    "DINOv2-B14-global": {"type": "feature_map",
+                          "id": generate_uint15_hash("DINOv2-B14-global")},
+    "ImageBind-H14-global": {"type": "feature_map",
+                             "id": generate_uint15_hash("ImageBind-H14-global")},
 }

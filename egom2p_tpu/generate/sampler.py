@@ -707,6 +707,43 @@ class GenerationSampler:
                 t["target_mask"][rows, ids_keep] = True
         return uncond
 
+    def generate_sam_dense(self, mod_dict, schedule, text_tokenizer,
+                           batch_size: int = 16, key: str = "sam_instance",
+                           top_k: float = 0.0, top_p: float = 0.0,
+                           seed: Optional[int] = None, verbose: bool = False):
+        """Dense SAM-instance prediction: run the sequence generation
+        batch_size times in parallel (one shared conditioning, different
+        samples) and concatenate the merged span outputs into one long
+        instance sequence (reference: generate.py:1231-1274)."""
+        from egom2p_tpu.masking.span import (get_sentinel_to_id_mapping,
+                                             merge_span_masking)
+        mod_dict = {m: {k: np.array(v) for k, v in d.items()}
+                    for m, d in mod_dict.items()}
+        expanded = expand_to_batch(
+            {m: {k: np.array(v) for k, v in d.items()}
+             for m, d in mod_dict.items()}, batch_size)
+        schedule = [s for s in schedule if s["target_domain"] == key]
+        out = self.generate(expanded, schedule, top_k=top_k, top_p=top_p,
+                            text_tokenizer=text_tokenizer, seed=seed,
+                            verbose=verbose)
+
+        sentinel_ids = set(get_sentinel_to_id_mapping(text_tokenizer).values())
+        merged: List[int] = []
+        for i in range(batch_size):
+            row = out[key]
+            inp = row["tensor"][i][~row["input_mask"][i]].tolist()
+            tgt = row["tensor"][i][~row["target_mask"][i]].tolist()
+            merged.extend(merge_span_masking(inp, tgt, sentinel_ids))
+        merged_arr = np.asarray(merged, dtype=np.int32)[None]
+        mod_dict[key] = {
+            "tensor": merged_arr,
+            "input_mask": np.zeros(merged_arr.shape, dtype=bool),
+            "target_mask": np.ones(merged_arr.shape, dtype=bool),
+            "decoder_attention_mask": np.zeros(merged_arr.shape,
+                                               dtype=np.int32),
+        }
+        return mod_dict
+
     # ------------------------------------------------------------ public API
     def generate_iter(self, mod_dict, schedule, **kwargs):
         """Step-by-step generator variant (reference: generate.py:1100-1168)."""

@@ -180,6 +180,19 @@ def setup_data(args, mesh):
                 dcfg.get("num_input_tokens") or args.num_input_tokens,
                 dcfg.get("num_target_tokens") or args.num_target_tokens,
                 sampling_weights=sampling_weights, seed=args.seed)
+            if dcfg.get("type") == "huggingface":
+                # HF-datasets source (reference: unified_datasets.py:448-489)
+                from egom2p_tpu.data.hf_datasets import huggingface_samples
+
+                def hf_factory(seed=None, dcfg=dcfg):
+                    return huggingface_samples(
+                        dcfg["data_path"],
+                        split=dcfg.get("split", "train"),
+                        shuffle_buffer=dcfg.get("shuffle_buffer_load", 1000),
+                        seed=seed if seed is not None else args.seed)
+
+                streams.append(DatasetStream(name, hf_factory, masking))
+                continue
             # expand '[rgb,depth]/..../shard-{000..195}.tar' into per-modality
             # aligned shard lists
             path = dcfg["data_path"]

@@ -60,6 +60,11 @@ def get_args(argv=None):
     p.add_argument("--commitment_weight", type=float, default=1.0)
     p.add_argument("--quantizer_ema_decay", type=float, default=0.99)
     p.add_argument("--kmeans_init", type=str2bool, default=False)
+    # encoder warm start + freeze (reference: vqvae.py:501-554, FREEZE_MODULES
+    # :32/200-223 via --freeze_enc)
+    p.add_argument("--encoder_ckpt", default=None,
+                   help="4M DiVAE safetensors for encoder warm start")
+    p.add_argument("--freeze_enc", type=str2bool, default=False)
     # Losses
     p.add_argument("--loss_fn", default="mse", choices=["mse", "mse_mask"])
     p.add_argument("--codebook_weight", type=float, default=1.0)
@@ -374,6 +379,10 @@ def run_train(args):
         print(f"train samples: {data.shape}")
 
     tok = build_tokenizer(args, jax.random.PRNGKey(args.seed))
+    if args.encoder_ckpt:
+        from egom2p_tpu.compat.torch_convert import load_divae_encoder_warm_start
+        tok.params = load_divae_encoder_warm_start(args.encoder_ckpt,
+                                                   tok.params)
     niter_per_ep = max(n_samples // global_batch, 1)
     lr = args.blr * global_batch / 256.0
     sched = cosine_scheduler(lr, args.min_lr, args.epochs, niter_per_ep,
@@ -383,6 +392,11 @@ def run_train(args):
         optax.clip_by_global_norm(args.clip_grad),
         optax.adamw(as_optax_schedule(sched), b1=args.opt_betas[0],
                     b2=args.opt_betas[1], weight_decay=args.weight_decay))
+    if args.freeze_enc:
+        from egom2p_tpu.core.optim import freeze_masked, freeze_modules_mask
+        optimizer = optax.chain(
+            optimizer, freeze_masked(freeze_modules_mask(
+                tok.params, ("encoder", "quant_proj"))))
     percept = None
     if video_domain and args.percept_loss_weight > 0.0:
         from egom2p_tpu.core.image_metrics import make_perceptual_loss

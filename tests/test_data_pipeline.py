@@ -146,3 +146,50 @@ def test_mixture_loader_multiprocess_workers():
     flat = [np.concatenate([b[m]["input_mask"].ravel() for m in sorted(b)])
             for b in batches]
     assert any(not np.array_equal(flat[0], f) for f in flat[1:])
+
+
+def test_huggingface_dataset_path(tmp_path):
+    """HF-datasets source: local save_to_disk dataset streams through
+    setup_data's huggingface branch (reference: unified_datasets.py:448-489)."""
+    import numpy as np
+    import yaml
+
+    import datasets as hfds
+    import run_training_egom2p as T
+    from egom2p_tpu.core.mesh import make_mesh
+    from egom2p_tpu.data.hf_datasets import huggingface_samples
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+
+    rng = np.random.default_rng(0)
+    L_rgb = MODALITY_INFO["tok_rgb"]["max_tokens"]
+    L_cam = MODALITY_INFO["tok_cam"]["max_tokens"]
+    ds = hfds.Dataset.from_dict({
+        "tok_rgb": [rng.integers(0, 64000, L_rgb).tolist() for _ in range(6)],
+        "tok_cam": [rng.integers(0, 256, L_cam).tolist() for _ in range(6)],
+        "text": [f"sample {i}" for i in range(6)],
+    })
+    ds_dir = str(tmp_path / "hfds")
+    ds.save_to_disk(ds_dir)
+
+    # raw stream: text renamed to caption
+    ex = next(iter(huggingface_samples(ds_dir, shuffle_buffer=0)))
+    assert "caption" in ex and "tok_rgb" in ex
+
+    cfg = {"train": {"datasets": {"hf": {
+        "type": "huggingface",
+        "in_domains": "tok_rgb-tok_cam", "out_domains": "tok_rgb-tok_cam",
+        "input_alphas": "1.0", "target_alphas": "1.0",
+        "data_path": ds_dir,
+    }}, "weights": [1.0]}}
+    cfg_path = tmp_path / "data.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    args = T.get_args(["--data_config", str(cfg_path),
+                       "--num_input_tokens", "64",
+                       "--num_target_tokens", "64",
+                       "--batch_size", "2",
+                       "--output_dir", str(tmp_path / "out")])
+    loader, domains = T.setup_data(args, make_mesh())
+    assert set(domains) == {"tok_rgb", "tok_cam"}
+    batch = next(iter(loader))
+    assert batch["tok_rgb"]["tensor"].shape[1] == L_rgb
+    assert batch["tok_cam"]["tensor"].dtype == np.int32

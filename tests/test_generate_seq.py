@@ -78,3 +78,35 @@ def test_lora_roundtrip():
     norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
     assert any(n > 0 for n in norms)
     assert all(np.isfinite(n) for n in norms)
+
+
+class _FakeTok:
+    """Minimal sentinel vocab for span merging."""
+
+    def token_to_id(self, t):
+        return {"[PAD]": 0, "[EOS]": 3}.get(t, 100 + int(t[3:-1])
+                                            if t.startswith("[S_") else None)
+
+    def get_vocab(self):
+        return {f"[S_{i}]": 40 + i for i in range(8)}
+
+
+def test_generate_sam_dense(seq_setup):
+    """Dense-instance generation: batched seq sampling merged into one long
+    sequence (reference: generate.py:1231-1274)."""
+    model, params, mod_dict, info = seq_setup
+    sampler = GenerationSampler(model, params, info)
+    schedule = build_chained_generation_schedules(
+        cond_domains=["tok_rgb"], target_domains=["caption"],
+        tokens_per_target=[12], autoregression_schemes=["autoregressive"],
+        decoding_steps=[1], token_decoding_schedules=["linear"],
+        temps=[1.0], temp_schedules=["constant"], cfg_scales=[1.0],
+        cfg_schedules=["constant"])
+    out = sampler.generate_sam_dense(mod_dict, schedule, _FakeTok(),
+                                     batch_size=3, key="caption",
+                                     top_p=0.8, seed=0)
+    d = out["caption"]
+    assert d["tensor"].ndim == 2 and d["tensor"].shape[0] == 1
+    assert d["tensor"].shape[1] >= 1
+    assert not d["input_mask"].any()
+    assert d["target_mask"].all()

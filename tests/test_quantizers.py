@@ -168,3 +168,78 @@ def test_vqvae_cli_lbg_policy(tmp_path):
             "--output_dir", str(tmp_path / "out"), "--print_freq", "1"]
     state = cli.run_train(cli.get_args(argv))
     assert np.isfinite(float(np.asarray(state.vq_state.embed).sum()))
+
+
+def test_divae_warm_start_and_freeze(tmp_path):
+    """DiVAE safetensors encoder warm start (central-frame conv3d init) and
+    FREEZE_MODULES-style encoder freezing (verdict item 7)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    import run_training_vqvae as cli
+    from egom2p_tpu.compat.torch_convert import load_divae_encoder_warm_start
+    from egom2p_tpu.core.optim import freeze_masked, freeze_modules_mask
+    from egom2p_tpu.tokenizers.video_vqvae import video_vqvae_from_config
+
+    dim, depth, latent = 48, 1, 8
+    tok = video_vqvae_from_config("rgb", jax.random.PRNGKey(0), num_frames=4,
+                                  image_size=32, tubelet_t=2, patch_size=8,
+                                  codebook_size=16, latent_dim=latent,
+                                  dim=dim, depth=depth, num_heads=4)
+    rng = np.random.default_rng(0)
+    # synthetic DiVAE state dict with the reference's key names
+    sd = {"encoder.proj.weight": rng.normal(0, 0.05, (dim, 3, 8, 8))
+          .astype(np.float32),
+          "encoder.proj.bias": rng.normal(0, 0.05, (dim,)).astype(np.float32),
+          "quant_proj.weight": rng.normal(0, 0.05, (latent, dim, 1, 1))
+          .astype(np.float32),
+          "quant_proj.bias": rng.normal(0, 0.05, (latent,)).astype(np.float32)}
+    for i in range(depth):
+        b = f"encoder.blocks.{i}"
+        sd.update({
+            f"{b}.norm1.weight": np.ones(dim, np.float32),
+            f"{b}.norm1.bias": np.zeros(dim, np.float32),
+            f"{b}.attn.qkv.weight": rng.normal(0, .05, (3 * dim, dim)).astype(np.float32),
+            f"{b}.attn.qkv.bias": np.zeros(3 * dim, np.float32),
+            f"{b}.attn.proj.weight": rng.normal(0, .05, (dim, dim)).astype(np.float32),
+            f"{b}.attn.proj.bias": np.zeros(dim, np.float32),
+            f"{b}.norm2.weight": np.ones(dim, np.float32),
+            f"{b}.norm2.bias": np.zeros(dim, np.float32),
+            f"{b}.mlp.fc1.weight": rng.normal(0, .05, (4 * dim, dim)).astype(np.float32),
+            f"{b}.mlp.fc1.bias": np.zeros(4 * dim, np.float32),
+            f"{b}.mlp.fc2.weight": rng.normal(0, .05, (dim, 4 * dim)).astype(np.float32),
+            f"{b}.mlp.fc2.bias": np.zeros(dim, np.float32),
+        })
+    path = str(tmp_path / "divae.safetensors")
+    save_file(sd, path)
+
+    params = load_divae_encoder_warm_start(path, tok.params)
+    k = np.asarray(params["params"]["encoder"]["patch_embed"]["kernel"])
+    # central temporal frame carries the conv2d weights, others are zero
+    np.testing.assert_allclose(k[1], sd["encoder.proj.weight"]
+                               .transpose(2, 3, 1, 0), atol=1e-6)
+    np.testing.assert_allclose(k[0], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["quant_proj"]["kernel"]),
+        sd["quant_proj.weight"].reshape(latent, dim).T, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["encoder"]["blocks_0"]["attn"]["qkv"]
+                   ["kernel"]),
+        sd["encoder.blocks.0.attn.qkv.weight"].T, atol=1e-6)
+
+    # freeze: masked updates must be zero for encoder + quant_proj
+    import optax
+    mask = freeze_modules_mask(params, ("encoder", "quant_proj"))
+    opt = optax.chain(optax.sgd(1e-2), freeze_masked(mask))
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    flat_u = jax.tree_util.tree_flatten_with_path(updates)[0]
+    flat_m = jax.tree_util.tree_flatten_with_path(mask)[0]
+    froze = unfroze = 0
+    for (pth, u), (_, m) in zip(flat_u, flat_m):
+        if m:
+            assert np.allclose(np.asarray(u), 0.0), pth
+            froze += 1
+        else:
+            unfroze += 1
+    assert froze > 0 and unfroze > 0
