@@ -423,3 +423,89 @@ def load_divae_encoder_warm_start(safetensors_path: str, params: Dict,
         print(f"DiVAE warm start: copied {len(copied)} tensors, "
               f"skipped {len(skipped)} reference keys without a target")
     return {"params": p}
+
+
+# ---------------------------------------------------------------- 2D (image)
+def _cosmos2d_torch_key(path: Tuple[str, ...]) -> str:
+    """flax path inside the 2D image tokenizer -> reference torch key base
+    (reference module layout: cosmos_tokenizer/modules/layers2d.py:150-368)."""
+    out = []
+    for p in path:
+        m = re.fullmatch(r"(down|up)_(\d+)_(block|attn)_(\d+)", p)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}.{m.group(3)}.{m.group(4)}")
+            continue
+        m = re.fullmatch(r"(down|up)_(\d+)_(downsample|upsample)", p)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}.{m.group(3)}")
+            continue
+        m = re.fullmatch(r"mid_(attn_1|block_\d+)", p)
+        if m:
+            out.append(f"mid.{m.group(1)}")
+            continue
+        if p == "norm" and out and out[-1].split(".")[-1].startswith("norm"):
+            continue  # Normalize2d's inner GroupNorm ("norm1.norm" -> "norm1")
+        out.append(p)
+    return ".".join(out)
+
+
+def convert_cosmos_image_state_dict(sd: Dict, flax_params: Dict) -> Dict:
+    """Cosmos CI/DI torch state_dict -> flax params tree (conv2d OIHW ->
+    HWIO; GroupNorm weight -> scale)."""
+    flat = _flatten(flax_params["params"])
+    out = {}
+    for path, leaf in flat.items():
+        name = "/".join(path)
+        tbase = _cosmos2d_torch_key(path[:-1])
+        leafname = path[-1]
+        if leafname == "kernel":
+            val = _t(sd[tbase + ".weight"]).transpose(2, 3, 1, 0)
+        elif leafname == "scale":
+            val = _t(sd[tbase + ".weight"])
+        elif leafname == "bias":
+            val = _t(sd[tbase + ".bias"])
+        elif leafname == "embedding":  # taming VQ codebook
+            val = _t(sd[tbase + ".embedding.weight"])
+        else:
+            raise KeyError(name)
+        out[path] = _check(name, leaf.shape, val).astype(np.float32)
+    return {"params": _unflatten(out)}
+
+
+def load_cosmos_image_pth(encoder_path: str, decoder_path: str = None,
+                          cfg=None, discrete: bool = True):
+    """Load Cosmos CI/DI weights from TorchScript encoder.jit / decoder.jit
+    (or a plain .pth with the full network state_dict)
+    (reference: cosmos_tokenizer/utils.py load_model/load_encoder_model)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from egom2p_tpu.tokenizers.cosmos.image_api import ImageTokenizer
+    from egom2p_tpu.tokenizers.cosmos.image_network import (
+        CI_CONFIG, ContinuousImageTokenizer, DI_CONFIG,
+        DiscreteImageTokenizer)
+
+    cfg = cfg or (DI_CONFIG if discrete else CI_CONFIG)
+
+    def read_sd(p):
+        if p.endswith(".jit"):
+            return torch.jit.load(p, map_location="cpu").state_dict()
+        ckpt = torch.load(p, map_location="cpu", weights_only=False)
+        return ckpt.get("model", ckpt)
+
+    sd = dict(read_sd(encoder_path))
+    if decoder_path:
+        sd.update(read_sd(decoder_path))
+    # drop derived quantizer buffers but keep a VQ codebook if present
+    sd = {k: v for k, v in sd.items() if not k.startswith("inv_quant")
+          and not (k.startswith("quantizer") and "embedding" not in k)
+          and not k.startswith("distribution")}
+
+    module = (DiscreteImageTokenizer if discrete
+              else ContinuousImageTokenizer)(cfg)
+    x0 = jnp.zeros((1, cfg.resolution, cfg.resolution, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: module.init(k, x0), jax.random.PRNGKey(0))
+    params = convert_cosmos_image_state_dict(sd, shapes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return ImageTokenizer(params, cfg, discrete=discrete)

@@ -306,3 +306,61 @@ class CausalDiscreteVideoTokenizer(nn.Module):
         indices, codes = self.encode(x)
         recon = self.decode(codes)
         return recon, indices
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousVideoConfig(DiscreteVideoConfig):
+    """CV tokenizer config (reference: networks/configs.py:100-121)."""
+    latent_channels: int = 16
+    formulation: str = "AE"  # or "VAE"
+    spatial_compression: int = 8
+    temporal_compression: int = 8
+
+
+CV8x8x8_CONFIG = ContinuousVideoConfig()
+CV4x8x8_CONFIG = ContinuousVideoConfig(temporal_compression=4)
+
+
+class CausalContinuousVideoTokenizer(nn.Module):
+    """AE/VAE causal video tokenizer (reference:
+    networks/continuous_video.py:31-118).  Mirrors the reference's
+    temporal_compression==4 quirk where only the *decoder* drops to
+    channels_mult=[2, 4] (continuous_video.py:44-45)."""
+    cfg: ContinuousVideoConfig = CV8x8x8_CONFIG
+
+    def setup(self):
+        from egom2p_tpu.tokenizers.cosmos.distributions import (
+            gaussian_distribution, identity_distribution)
+        cfg = self.cfg
+        enc_cls = {"FACTORIZED": EncoderFactorized, "BASE": EncoderBase}
+        dec_cls = {"FACTORIZED": DecoderFactorized, "BASE": DecoderBase}
+        # encoder emits z_factor * z_channels (z_factor=2 for a VAE carries
+        # mean+logvar); DiscreteVideoConfig.z_factor feeds the encoder conv_out
+        self.encoder = enc_cls[cfg.encoder](cfg)
+        dec_cfg = cfg
+        if cfg.temporal_compression == 4:
+            dec_cfg = dataclasses.replace(cfg, channels_mult=(2, 4))
+        self.decoder = dec_cls[cfg.decoder](dec_cfg)
+        self.quant_conv = CausalConv3d(cfg.z_factor * cfg.latent_channels,
+                                       (1, 1, 1), padding=0)
+        self.post_quant_conv = CausalConv3d(cfg.z_channels, (1, 1, 1),
+                                            padding=0)
+        self._gaussian = gaussian_distribution
+        self._identity = identity_distribution
+
+    def encode(self, x, rng=None):
+        """x: (B, T, H, W, 3) in [-1, 1] -> (latent, (mean, logvar))."""
+        h = self.encoder(x)
+        moments = self.quant_conv(h)
+        if self.cfg.formulation == "VAE":
+            return self._gaussian(moments, rng)
+        return self._identity(moments)
+
+    def decode(self, z):
+        h = self.post_quant_conv(z)
+        return self.decoder(h)
+
+    def __call__(self, x, rng=None):
+        latent, posteriors = self.encode(x, rng)
+        recon = self.decode(latent)
+        return recon, posteriors, latent

@@ -131,3 +131,63 @@ class CausalVideoTokenizer:
         return np.concatenate(out, axis=1)
 
     __call__ = forward
+
+
+class ContinuousVideoTokenizer:
+    """CV (continuous latent) counterpart of CausalVideoTokenizer
+    (reference: video_lib.py:84-116 handles both; the continuous branch
+    returns a latent instead of indices)."""
+
+    def __init__(self, params, cfg=None, compute_dtype=jnp.bfloat16):
+        from egom2p_tpu.tokenizers.cosmos.network import (
+            CausalContinuousVideoTokenizer, CV8x8x8_CONFIG)
+        self.cfg = cfg or CV8x8x8_CONFIG
+        self.module = CausalContinuousVideoTokenizer(self.cfg)
+        self.params = params
+        self.compute_dtype = compute_dtype
+        cls = CausalContinuousVideoTokenizer
+        self._encode = jax.jit(lambda p, x: self.module.apply(
+            p, x.astype(compute_dtype), method=cls.encode))
+        self._decode = jax.jit(lambda p, z: self.module.apply(
+            p, z.astype(compute_dtype), method=cls.decode))
+
+    @classmethod
+    def random_init(cls, rng: jax.Array, cfg=None, frames: int = 17,
+                    size: int = 256, **kw):
+        from egom2p_tpu.tokenizers.cosmos.network import (
+            CausalContinuousVideoTokenizer, CV8x8x8_CONFIG)
+        cfg = cfg or CV8x8x8_CONFIG
+        module = CausalContinuousVideoTokenizer(cfg)
+        x0 = jnp.zeros((1, frames, size, size, 3), jnp.float32)
+        params = jax.jit(lambda k: module.init(k, x0))(rng)
+        return cls(params, cfg, **kw)
+
+    def encode(self, video_pm1):
+        """(B, T, H, W, 3) in [-1,1] -> latent (B, t, h, w, C) (AE mean)."""
+        latent, _post = self._encode(self.params, jnp.asarray(video_pm1))
+        return (latent,)
+
+    def decode(self, latent):
+        return self._decode(self.params, jnp.asarray(latent))
+
+    def autoencode(self, video_pm1):
+        return self.decode(self.encode(video_pm1)[0])
+
+    def forward(self, video_uint8, temporal_window: int = 17) -> np.ndarray:
+        """uint8 (B,T,H,W,3) -> reconstructed uint8, windowed like the
+        reference (video_lib.py:118-152)."""
+        assert video_uint8.ndim == 5
+        ta = 2 * self.cfg.temporal_compression
+        sa = 2 * self.cfg.spatial_compression
+        num_frames = video_uint8.shape[1]
+        out = []
+        for idx in range((num_frames - 1) // temporal_window + 1):
+            window = np.asarray(
+                video_uint8[:, idx * temporal_window:(idx + 1) * temporal_window])
+            padded, crop = pad_video_batch(window, ta, sa)
+            recon = np.asarray(self.autoencode(numpy2tensor(padded)),
+                               dtype=np.float32)
+            out.append(unpad_video_batch(tensor2numpy(recon), crop))
+        return np.concatenate(out, axis=1)
+
+    __call__ = forward

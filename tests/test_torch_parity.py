@@ -486,3 +486,93 @@ def test_sequence_emb_encoder_embedding_parity():
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(emb), td["emb"].numpy(),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_cosmos_image_parity():
+    """2D DI (FSQ) encoder/decoder parity vs the reference
+    (cosmos_tokenizer/networks/discrete_image.py + modules/layers2d.py)."""
+    from cosmos_tokenizer.networks.discrete_image import (
+        DiscreteImageTokenizer as TorchDI)
+    from egom2p_tpu.compat.torch_convert import convert_cosmos_image_state_dict
+    from egom2p_tpu.tokenizers.cosmos.image_network import (
+        DiscreteImageTokenizer as JaxDI, ImageTokenizerConfig)
+
+    kwargs = dict(attn_resolutions=[16], channels=32, channels_mult=[1, 2],
+                  dropout=0.0, in_channels=3, spatial_compression=4,
+                  num_res_blocks=1, out_channels=3, resolution=32,
+                  patch_size=2, patch_method="haar", z_factor=1,
+                  quantizer="FSQ", embedding_dim=6, levels=[8, 8, 8, 5, 5, 5],
+                  encoder="Default", decoder="Default", name="DI")
+    torch.manual_seed(0)
+    tmodel = TorchDI(z_channels=16, **kwargs).eval()
+    tmodel.quantizer.dtype = torch.float32
+
+    cfg = ImageTokenizerConfig(attn_resolutions=(16,), channels=32,
+                               channels_mult=(1, 2), spatial_compression=4,
+                               num_res_blocks=1, resolution=32, patch_size=2,
+                               z_channels=16, embedding_dim=6)
+    jmodel = JaxDI(cfg)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: jmodel.init(k, x0), jax.random.PRNGKey(0))
+    params = convert_cosmos_image_state_dict(tmodel.state_dict(), shapes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_idx, t_codes, _ = tmodel.encode(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_idx, j_codes, _ = jmodel.apply(params, jnp.asarray(x),
+                                     method=JaxDI.encode)
+    t_codes = t_codes.float().numpy().transpose(0, 2, 3, 1)
+    assert j_idx.shape == tuple(t_idx.shape)
+    match = (np.asarray(j_idx) == t_idx.numpy()).mean()
+    assert match > 0.99, f"token match {match}"
+    assert np.abs(np.asarray(j_codes, dtype=np.float32) - t_codes).max() < 2e-3
+
+    idx = rng.integers(0, 64000, size=tuple(t_idx.shape)).astype(np.int32)
+    with torch.no_grad():
+        t_out = tmodel.decode_code(torch.from_numpy(idx).long())
+    j_out = jmodel.apply(params, jnp.asarray(idx), method=JaxDI.decode_code)
+    t_out = t_out.float().numpy().transpose(0, 2, 3, 1)
+    assert np.abs(np.asarray(j_out, dtype=np.float32) - t_out).max() < 5e-3
+
+
+def test_cosmos_continuous_image_parity():
+    """CI (AE formulation) autoencode parity vs the reference
+    (cosmos_tokenizer/networks/continuous_image.py:32-104)."""
+    from cosmos_tokenizer.networks.continuous_image import (
+        ContinuousImageTokenizer as TorchCI)
+    from egom2p_tpu.compat.torch_convert import convert_cosmos_image_state_dict
+    from egom2p_tpu.tokenizers.cosmos.image_network import (
+        ContinuousImageTokenizer as JaxCI, ImageTokenizerConfig)
+
+    kwargs = dict(attn_resolutions=[16], channels=32, channels_mult=[1, 2],
+                  dropout=0.0, in_channels=3, spatial_compression=4,
+                  num_res_blocks=1, out_channels=3, resolution=32,
+                  patch_size=2, patch_method="haar",
+                  formulation="AE", encoder="Default", decoder="Default",
+                  name="CI")
+    torch.manual_seed(0)
+    tmodel = TorchCI(z_channels=16, z_factor=1, latent_channels=8,
+                     **kwargs).eval()
+
+    cfg = ImageTokenizerConfig(attn_resolutions=(16,), channels=32,
+                               channels_mult=(1, 2), spatial_compression=4,
+                               num_res_blocks=1, resolution=32, patch_size=2,
+                               z_channels=16, z_factor=1, latent_channels=8,
+                               formulation="AE")
+    jmodel = JaxCI(cfg)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: jmodel.init(k, x0), jax.random.PRNGKey(0))
+    params = convert_cosmos_image_state_dict(tmodel.state_dict(), shapes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        t_recon = t_out.reconstructions.float().numpy().transpose(0, 2, 3, 1)
+        t_latent = t_out.latent.float().numpy().transpose(0, 2, 3, 1)
+    j_recon, _post, j_latent = jmodel.apply(params, jnp.asarray(x))
+    assert np.abs(np.asarray(j_latent, dtype=np.float32) - t_latent).max() < 2e-3
+    assert np.abs(np.asarray(j_recon, dtype=np.float32) - t_recon).max() < 5e-3
