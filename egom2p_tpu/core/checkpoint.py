@@ -72,3 +72,19 @@ def auto_load_model(output_dir: str, target: Optional[Any] = None):
     if path is None:
         return None, None
     return load_checkpoint(path, target), path
+
+
+def restore_params(path: str, model=None):
+    """Restore just the flax params from an orbax checkpoint directory (a
+    `checkpoint-N` dir, or a run dir containing them).  Accepts either a bare
+    params tree or a full TrainState-style {'params': ...} pytree."""
+    target = path if os.path.basename(path).startswith("checkpoint-") \
+        else (latest_checkpoint(path) or path)
+    state = load_checkpoint(target)
+    if isinstance(state, dict) and "params" in state:
+        params = state["params"]
+        # TrainState stores the flax variables dict under 'params'
+        if isinstance(params, dict) and "params" not in params:
+            params = {"params": params}
+        return params
+    return state

@@ -56,8 +56,16 @@ def _decode_member(name: str, data: bytes):
 
 
 def iter_tar_samples(path: str) -> Iterator[Dict]:
-    """Yield {__key__, <ext>: decoded} grouped by key prefix within one tar."""
-    with tarfile.open(path, "r") as tar:
+    """Yield {__key__, <ext>: decoded} grouped by key prefix within one tar.
+
+    s3:// shards stream through data.s3_utils (boto3-gated, reference:
+    s3_utils.py:29-113); local paths open directly."""
+    from egom2p_tpu.data.s3_utils import is_s3_path, open_stream
+    if is_s3_path(path):
+        ctx = tarfile.open(fileobj=open_stream(path), mode="r|*")
+    else:
+        ctx = tarfile.open(path, "r")
+    with ctx as tar:
         current_key, sample = None, {}
         for member in tar:
             if not member.isfile():

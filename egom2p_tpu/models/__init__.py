@@ -1,1 +1,2 @@
 from .egom2p import EgoM2P, create_model, MODEL_REGISTRY
+from .hub import FM

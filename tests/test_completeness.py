@@ -83,3 +83,64 @@ def test_shared_params_mask():
     unfrozen = [p for p, v in flat if not v]
     assert any("encoder_0" in str(p) for p in frozen)
     assert any("mod_emb" in str(p) or "embeddings" in str(p) for p in unfrozen)
+
+
+def test_fm_from_pretrained_orbax(tmp_path):
+    """FM hub wrapper (reference: egom2p_model.py:826-880): config.json +
+    orbax checkpoint dir -> bound, callable model."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from egom2p_tpu.core.checkpoint import save_checkpoint
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+    from egom2p_tpu.models.hub import FM, _model_from_config
+
+    cfg = dict(domains_in=["tok_cam", "tok_gaze"],
+               domains_out=["tok_cam", "tok_gaze"],
+               dim=96, encoder_depth=1, decoder_depth=1, num_heads=4,
+               mlp_ratio=2.0, qkv_bias=False, proj_bias=False, mlp_bias=False,
+               norm_bias=False, gated_mlp=True, qk_norm=False,
+               act_layer="SiLU")
+    model = _model_from_config(cfg)
+    md = {}
+    for m in cfg["domains_in"]:
+        L = MODALITY_INFO[m]["max_tokens"]
+        md[m] = {"tensor": jnp.zeros((1, L), jnp.int32),
+                 "input_mask": jnp.ones((1, L), bool),
+                 "target_mask": jnp.zeros((1, L), bool),
+                 "decoder_attention_mask": jnp.zeros((1, L), jnp.int32)}
+    params = jax.jit(lambda k: model.init(k, md, 8, 8))(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), 3, {"params": params["params"]})
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg, f)
+
+    fm = FM.from_pretrained(str(tmp_path))
+    loss, _ = fm(md, 8, 8, "mod")
+    assert np.isfinite(float(loss))
+    # converted params match the saved ones exactly
+    ref = jax.tree_util.tree_leaves(params["params"])
+    got = jax.tree_util.tree_leaves(fm.params["params"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(ref, got))
+
+
+def test_fm_hub_id_gated():
+    from egom2p_tpu.models.hub import FM
+    with pytest.raises(RuntimeError, match="egress"):
+        FM.from_pretrained("org/model-that-needs-download")
+
+
+def test_s3_paths_gated():
+    """s3:// shards route through the boto3-gated shim with a clear error
+    here (zero egress), and parse correctly."""
+    from egom2p_tpu.data.s3_utils import is_s3_path, parse_s3_path, open_stream
+    assert is_s3_path("s3://bucket/key/shard-0.tar")
+    assert not is_s3_path("/data/shard-0.tar")
+    assert parse_s3_path("s3://b/k/x.tar") == ("b", "k/x.tar")
+    with pytest.raises((RuntimeError, Exception)):
+        open_stream("s3://bucket/key.tar")
+    from egom2p_tpu.data.tar_reader import iter_tar_samples
+    with pytest.raises(Exception):
+        list(iter_tar_samples("s3://bucket/key.tar"))
