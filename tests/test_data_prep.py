@@ -110,3 +110,30 @@ def test_full_holoassist_style_pipeline(tmp_path):
                         new_res=[480, 480])
     wins = temporal_overlap_augmentation(conv, stride=10, sequence_length=60)
     assert len(wins) == 3 and wins[0].shape == (60, 3)
+
+
+def test_cam_viz_tool_html(tmp_path):
+    """Interactive trajectory viewer writes a self-contained HTML file with
+    both tracks embedded (reference: vis_3d/cam_viz_tool.py SLAMFrontend)."""
+    import json
+    import re
+    import sys
+
+    sys.path.insert(0, "vis_3d")
+    import cam_viz_tool
+
+    T = 12
+    poses = np.tile(np.eye(4), (T, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 1, T)
+    fe = cam_viz_tool.SLAMFrontend(str(tmp_path)).start()
+    fe.update_cam_trajectory(poses, gt=True)
+    for i, p in enumerate(poses):
+        fe.update_pose(i, p, gt=False)
+    out = fe.join()
+    html = open(out).read()
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html,
+                                re.S).group(1))
+    assert len(data["est"]["traj"]) == T and len(data["gt"]["traj"]) == T
+    segs = data["est"]["frusta"]["0"]
+    assert len(segs) == 12 and len(segs[0][0]) == 3
+    assert "__DATA__" not in html
