@@ -33,6 +33,13 @@ class MultiModalFolderDataset:
     def __len__(self) -> int:
         return len(self.keys)
 
+    def paths(self, idx: int) -> Dict[str, str]:
+        """Per-modality file paths of sample idx (no loading)."""
+        key = self.keys[idx]
+        out = {mod: self.files[mod][key] for mod in self.modality_dirs}
+        out["__key__"] = key
+        return out
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         key = self.keys[idx]
         out = {}

@@ -128,8 +128,8 @@ def setup_data(args, mesh):
 
     text_tokenizer = None
     if args.text_tokenizer_path:
-        from tokenizers import Tokenizer
-        text_tokenizer = Tokenizer.from_file(args.text_tokenizer_path)
+        from egom2p_tpu.utils.text_tokenizer import load_text_tokenizer
+        text_tokenizer = load_text_tokenizer(args.text_tokenizer_path)
 
     all_domains = set()
     streams, weights = [], None
@@ -251,8 +251,8 @@ def setup_val_data(args, mesh):
     batch = args.batch_size * num_data_shards(mesh)
     text_tokenizer = None
     if args.text_tokenizer_path:
-        from tokenizers import Tokenizer
-        text_tokenizer = Tokenizer.from_file(args.text_tokenizer_path)
+        from egom2p_tpu.utils.text_tokenizer import load_text_tokenizer
+        text_tokenizer = load_text_tokenizer(args.text_tokenizer_path)
 
     def masks_for(mod_info, sampling_weights, fixed):
         if fixed:

@@ -14,3 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-dominated (tiny
+# shapes, many jit paths), so repeat runs skip straight to execution.
+from egom2p_tpu.core.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.environ.get("EGOM2P_TEST_JAX_CACHE",
+                                       "/root/.jax_cache_tests"))

@@ -21,14 +21,21 @@ TINY = ImageTokenizerConfig(channels=32, channels_mult=(1, 2),
                             embedding_dim=6)
 
 
+_CACHE = {}
+
+
 def _tiny_tokenizer(discrete=True, **over):
+    key = (discrete, tuple(sorted(over.items())))
+    if key in _CACHE:  # init/compile once per config across the module
+        return _CACHE[key]
     cfg = dataclasses.replace(TINY, **over)
     cls = DiscreteImageTokenizer if discrete else ContinuousImageTokenizer
     module = cls(cfg)
     x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
     params = jax.jit(lambda k: module.init(k, x0))(jax.random.PRNGKey(0))
-    return ImageTokenizer(params, cfg, discrete=discrete,
-                          compute_dtype=jnp.float32)
+    _CACHE[key] = ImageTokenizer(params, cfg, discrete=discrete,
+                                 compute_dtype=jnp.float32)
+    return _CACHE[key]
 
 
 def test_pad_unpad_image_batch_roundtrip():
@@ -95,10 +102,10 @@ def test_continuous_video_tokenizer_api():
     from egom2p_tpu.tokenizers.cosmos.network import ContinuousVideoConfig
     from egom2p_tpu.tokenizers.cosmos.video_api import ContinuousVideoTokenizer
 
-    cfg = ContinuousVideoConfig(channels=32, channels_mult=(1, 2),
+    cfg = ContinuousVideoConfig(channels=16, channels_mult=(1, 2),
                                 num_res_blocks=1, resolution=64, patch_size=2,
                                 spatial_compression=4, temporal_compression=2,
-                                z_channels=16, latent_channels=8)
+                                z_channels=16, latent_channels=8, num_groups=4)
     tok = ContinuousVideoTokenizer.random_init(
         jax.random.PRNGKey(0), cfg, frames=5, size=16,
         compute_dtype=jnp.float32)
@@ -118,9 +125,9 @@ def test_continuous_video_temporal4_decoder_quirk():
                                 num_res_blocks=1, resolution=256,
                                 patch_size=4, spatial_compression=8,
                                 temporal_compression=4,
-                                z_channels=4, latent_channels=4)
+                                z_channels=4, latent_channels=4, num_groups=4)
     m = CausalContinuousVideoTokenizer(cfg)
-    x0 = jnp.zeros((1, 5, 64, 64, 3), jnp.float32)
+    x0 = jnp.zeros((1, 5, 32, 32, 3), jnp.float32)
     params = jax.eval_shape(lambda k: m.init(k, x0), jax.random.PRNGKey(0))
     dec = params["params"]["decoder"]
     assert "up_2_block_0" not in dec          # only 2 decoder levels

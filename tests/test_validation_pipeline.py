@@ -18,7 +18,7 @@ def _tiny_args(tmp_path, extra=()):
             "--fixed_eval_input_tokens", "16",
             "--fixed_eval_target_tokens", "16",
             "--batch_size", "2", "--accum_steps", "1",
-            "--epochs", "2", "--epoch_size", "8",
+            "--epochs", "1", "--epoch_size", "6",
             "--warmup_epochs", "0", "--eval_freq", "1", "--eval_iters", "2",
             "--save_ckpt_freq", "100",
             "--output_dir", str(tmp_path / "out")] + list(extra)
@@ -80,7 +80,7 @@ def test_fixed_eval_batches_identical_across_epochs(tmp_path):
 
 
 def test_training_logs_heldout_val_metrics(tmp_path):
-    """2 tiny epochs end-to-end: log.jsonl must contain val_* and
+    """One tiny epoch end-to-end: log.jsonl must contain val_* and
     fixed_eval_* entries sourced from the held-out loaders."""
     import run_training_egom2p as T
 
