@@ -81,6 +81,12 @@ def image_crop_and_resize(img: np.ndarray, crop_coords: Tuple,
     y1, x1 = min(oh, top + h), min(ow, left + w)
     if y1 > y0 and x1 > x0:
         canvas[y0 - top:y1 - top, x0 - left:x1 - left] = img[y0:y1, x0:x1]
+    if canvas.dtype.kind == "f" and canvas.ndim == 3:
+        # PIL has no float multi-channel mode: resample per channel as 'F'
+        chans = [np.asarray(Image.fromarray(canvas[..., c], mode="F").resize(
+            (tw, th), resample=_resample(resample_mode)))
+            for c in range(canvas.shape[2])]
+        return np.stack(chans, axis=-1)
     pil = Image.fromarray(canvas)
     pil = pil.resize((tw, th), resample=_resample(resample_mode))
     return np.asarray(pil)
