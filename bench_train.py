@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark: tokens/sec/chip for the EgoM2P-base
+pretraining step (2048 encoder + 2048 decoder token budgets, loss_type
+'mod'), with an analytic-FLOP MFU estimate.
+
+Single chip; the multi-chip path is validated by __graft_entry__.py's
+dryrun (DP/FSDP shardings compile + execute on a virtual mesh) and scales
+linearly over the data axes because the step is fully batch-sharded with an
+XLA-fused gradient psum (reference anchor: 256xH100 DDP,
+README_TRAINING.md:45).
+
+Prints ONE JSON line.  Not the driver's headline bench (that is bench.py);
+run manually: python bench_train.py [BATCH=8 STEPS=5]
+"""
+import json
+import os
+import sys
+import time
+
+V5E_PEAK_TFLOPS = 197.0
+
+
+def train_flops_per_sample(n_in=2048, n_tgt=2048, n_layers=12, dim=768,
+                           h=2048, vocab=64000):
+    """Analytic fwd FLOPs; bwd ~= 2x fwd => total 3x.
+
+    Encoder at N=n_in; decoder self at n_tgt + cross to n_in; the CE head is
+    counted at the 64k video vocab for every target token (upper bound: the
+    cam/gaze share of the budget uses a 256 vocab)."""
+    enc = n_layers * (8 * n_in * dim**2 + 4 * n_in**2 * dim
+                      + 6 * n_in * dim * h)
+    dec = n_layers * (8 * n_tgt * dim**2 + 4 * n_tgt**2 * dim
+                      + 4 * n_tgt * n_in * dim + 4 * n_tgt * dim**2
+                      + 6 * n_tgt * dim * h)
+    head = 2 * n_tgt * dim * vocab
+    return 3 * (enc + dec + head)
+
+
+def main():
+    from egom2p_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import numpy as np
+    import jax
+    import optax
+
+    from egom2p_tpu.data import MODALITY_INFO
+    from egom2p_tpu.models import create_model
+    from egom2p_tpu.train.egom2p_train import (init_train_state,
+                                               make_train_step)
+    from tests.test_model import make_mod_dict
+
+    t_setup = time.time()
+    B = int(os.environ.get("BATCH", "8"))
+    steps = int(os.environ.get("STEPS", "5"))
+    MODS = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+    model = create_model("egom2p_base_12e_12d_swiglu_nobias", MODS, MODS)
+    rng = np.random.default_rng(0)
+    batch = make_mod_dict(rng, batch=B, mods=MODS, n_in=2048, n_tgt=2048,
+                          info=MODALITY_INFO)
+
+    params = jax.jit(lambda k: model.init(
+        k, batch, 2048, 2048))(jax.random.PRNGKey(0))
+    opt = optax.adamw(1e-4, weight_decay=0.05)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(model, opt, 2048, 2048), donate_argnums=0)
+
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key)  # compile
+    _ = float(metrics["loss"])
+    setup_s = time.time() - t_setup
+
+    t0 = time.time()
+    for i in range(steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    _ = float(metrics["loss"])  # sync
+    dt = time.time() - t0
+
+    tokens = steps * B * (2048 + 2048)
+    tok_s = tokens / dt
+    fl = train_flops_per_sample() * B * steps
+    mfu = fl / dt / (V5E_PEAK_TFLOPS * 1e12)
+    print(json.dumps({
+        "metric": "train tokens/s/chip (egom2p-base, 2048+2048)",
+        "value": round(tok_s, 1), "unit": "tok/s/chip",
+        "batch": B, "steps_per_sec": round(steps / dt, 3),
+        "mfu_pct": round(mfu * 100, 1),
+        "model_tflops_per_step": round(fl / steps / 1e12, 2),
+    }))
+    print(f"# setup+compile {setup_s:.1f}s; {steps} steps in {dt:.2f}s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,53 @@ def _top_candidates(logits, K):
     return vals.astype(jnp.float32), idxs
 
 
+def _candidate_count(V: int, temperature: float, top_k: float, top_p: float):
+    """(k_user, K): user top-k and the candidate-set size sample_tokens uses.
+
+    K == V means no truncation was requested (sample the full vocab)."""
+    if abs(temperature) < 1e-10:
+        return 0, 1  # greedy: top-1 candidate is the sample
+    k_user = 0
+    if top_k and top_k > 0:
+        k_user = int(top_k) if top_k >= 1 else max(1, int(top_k * V))
+    K = min(V, max(k_user, _TOPP_TRUNC) if (top_p and top_p > 0) else
+            (k_user or V))
+    return k_user, K
+
+
+def _sample_from_candidates(vals, idxs, key, temperature: float,
+                            k_user: int, top_p: float):
+    """Categorical sampling over a per-position candidate set.
+
+    vals: (..., K) fp32, sorted descending; idxs: matching global token ids.
+    Applies the user top-k cutoff and the nucleus (top-p) cutoff within the
+    candidates, then samples (reference: generate.py:332-382)."""
+    if abs(temperature) < 1e-10:
+        samples = idxs[..., 0].astype(jnp.int32)
+        return samples, jnp.ones(samples.shape, jnp.float32)
+
+    if k_user and k_user < vals.shape[-1]:
+        pos = jnp.arange(vals.shape[-1])
+        vals = jnp.where(pos >= k_user, -jnp.inf, vals)
+
+    if top_p and top_p > 0.0:
+        p = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(p, axis=-1)
+        # shift right so the first token above the threshold is kept
+        # (reference: generate.py:350-353)
+        remove = jnp.concatenate(
+            [jnp.zeros_like(cum[..., :1], dtype=bool), cum[..., :-1] > top_p],
+            axis=-1)
+        vals = jnp.where(remove, -jnp.inf, vals)
+
+    probs = jax.nn.softmax(vals / temperature, axis=-1)
+    choice = jax.random.categorical(key, vals / temperature, axis=-1)
+    sampled = jnp.take_along_axis(probs, choice[..., None], axis=-1)[..., 0]
+    samples = jnp.take_along_axis(idxs, choice[..., None],
+                                  axis=-1)[..., 0].astype(jnp.int32)
+    return samples, sampled
+
+
 def sample_tokens(logits: jnp.ndarray, key, temperature: float,
                   top_k: float, top_p: float):
     """Top-k / top-p (nucleus) filtering + categorical sampling
@@ -156,40 +203,85 @@ def sample_tokens(logits: jnp.ndarray, key, temperature: float,
         return samples, probs
 
     V = logits.shape[-1]
-    k_user = 0
-    if top_k and top_k > 0:
-        k_user = int(top_k) if top_k >= 1 else max(1, int(top_k * V))
-    K = min(V, max(k_user, _TOPP_TRUNC) if (top_p and top_p > 0) else
-            (k_user or V))
+    k_user, K = _candidate_count(V, temperature, top_k, top_p)
 
-    if K < V or k_user:
+    if K < V or k_user or (top_p and top_p > 0.0):
+        # nucleus cutoff needs descending-sorted values, so small vocabs
+        # (e.g. 256-code cam/gaze) also go through the candidate path
         vals, idxs = _top_candidates(logits, K)  # sorted descending
-    else:
-        vals, idxs = logits, None
+        return _sample_from_candidates(vals, idxs, key, temperature,
+                                       k_user, top_p)
 
-    if k_user and k_user < vals.shape[-1]:
-        pos = jnp.arange(vals.shape[-1])
-        vals = jnp.where(pos >= k_user, -jnp.inf, vals)
-
-    if top_p and top_p > 0.0 and idxs is not None:
-        p = jax.nn.softmax(vals, axis=-1)
-        cum = jnp.cumsum(p, axis=-1)
-        # shift right so the first token above the threshold is kept
-        # (reference: generate.py:350-353)
-        remove = jnp.concatenate(
-            [jnp.zeros_like(cum[..., :1], dtype=bool), cum[..., :-1] > top_p],
-            axis=-1)
-        vals = jnp.where(remove, -jnp.inf, vals)
-
-    probs = jax.nn.softmax(vals / temperature, axis=-1)
-    choice = jax.random.categorical(key, vals / temperature, axis=-1)
+    # no truncation requested: categorical over the full vocabulary
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
+    choice = jax.random.categorical(key, logits / temperature, axis=-1)
     sampled = jnp.take_along_axis(probs, choice[..., None], axis=-1)[..., 0]
-    if idxs is not None:
-        samples = jnp.take_along_axis(idxs, choice[..., None],
-                                      axis=-1)[..., 0].astype(jnp.int32)
-    else:
-        samples = choice
-    return samples, sampled
+    return choice, sampled
+
+
+def chunked_head_sample(model, params, target_mod: str, y, branch_weights,
+                        key, temperature: float, top_k: float, top_p: float,
+                        vocab_size: int, chunk: int = 256):
+    """Vocab head + guidance mix + sampling over POSITION chunks.
+
+    `y`: (G*B, k, dim) decoder hidden states, G stacked guidance branches
+    (G=1 when guidance is off).  `branch_weights`: per-branch logit weights
+    (CFG ``lu + s*(lc - lu)`` == weights ``[s, 1-s]``; the multi-guidance
+    conjunction likewise), or None for G=1.
+
+    Materializing the full (G*B, k, 64000) fp32 logits costs up to ~20 GB of
+    HBM and drives XLA into compressed remat copies (~30x slower than the
+    matmul itself); chunking positions keeps the live logits buffer at
+    (G*B, chunk, V) and reduces each chunk to its top-K candidates
+    immediately.  Per-position results are identical to the unchunked form —
+    each position's full vocab row lives in exactly one chunk.
+
+    Returns (samples (B, k) int32, sampled_probs (B, k) f32).
+    """
+    GB, k, _ = y.shape
+    G = 1 if branch_weights is None else len(branch_weights)
+    B = GB // G
+    k_user, K = _candidate_count(vocab_size, temperature, top_k, top_p)
+    untruncated = K >= vocab_size and not k_user and not (top_p and top_p > 0)
+
+    n_chunks = max(1, -(-k // chunk))
+    pad = n_chunks * chunk - k
+    if pad:
+        y = jnp.pad(y, ((0, 0), (0, pad), (0, 0)))
+
+    vals_parts, idx_parts = [], []
+    for c in range(n_chunks):
+        yc = jax.lax.dynamic_slice_in_dim(y, c * chunk, chunk, axis=1)
+        logits = model.apply(params, target_mod, yc,
+                             method=EgoM2P.forward_mod_logits)  # (GB, c, V)
+        if G > 1:
+            mixed = branch_weights[0] * logits[:B]
+            for i in range(1, G):
+                mixed = mixed + branch_weights[i] * logits[i * B:(i + 1) * B]
+        else:
+            mixed = logits
+        if abs(temperature) < 1e-10:
+            vals_parts.append(mixed.max(axis=-1, keepdims=True))
+            idx_parts.append(
+                mixed.argmax(axis=-1, keepdims=True).astype(jnp.int32))
+        elif untruncated:
+            vals_parts.append(mixed)  # rare: sample the full vocab
+            idx_parts.append(None)
+        else:
+            v, i = _top_candidates(mixed, min(K, vocab_size))
+            vals_parts.append(v)
+            idx_parts.append(i)
+
+    vals = jnp.concatenate(vals_parts, axis=1)[:, :k]
+    if untruncated and abs(temperature) >= 1e-10:
+        probs = jax.nn.softmax(vals / temperature, axis=-1)
+        choice = jax.random.categorical(key, vals / temperature, axis=-1)
+        sampled = jnp.take_along_axis(probs, choice[..., None],
+                                      axis=-1)[..., 0]
+        return choice.astype(jnp.int32), sampled
+    idxs = jnp.concatenate(idx_parts, axis=1)[:, :k]
+    return _sample_from_candidates(vals, idxs, key, temperature, k_user,
+                                   top_p)
 
 
 def _bucket(n: int, size: int = 256) -> int:
@@ -219,22 +311,22 @@ class GenerationSampler:
         if cache_key not in self._logits_fns:
             model = self.model
 
+            vocab = self.info[target_mod]["vocab_size"]
+
             @jax.jit
             def fn(params, mod_dict, ids_keep, key):
                 context, enc_mask = model.apply(
                     params, mod_dict, num_enc,
                     method=EgoM2P.forward_enc_context)
-                logits = model.apply(
+                y = model.apply(
                     params, mod_dict, target_mod, context, enc_mask, ids_keep,
-                    method=EgoM2P.forward_dec_subset_logits)  # (B', k, V)
-                if use_cfg:
-                    B = logits.shape[0] // 2
-                    lc, lu = logits[:B], logits[B:]
-                    # (reference: generate.py:805)
-                    logits = lu + (lc - lu) * cfg_scale
-                samples, probs = sample_tokens(logits, key, temperature,
-                                               top_k, top_p)
-                return samples, probs
+                    method=EgoM2P.forward_dec_subset_hidden)  # (B', k, dim)
+                # CFG mix lu + s*(lc - lu) == weights (s, 1-s)
+                # (reference: generate.py:805)
+                weights = (cfg_scale, 1.0 - cfg_scale) if use_cfg else None
+                return chunked_head_sample(model, params, target_mod, y,
+                                           weights, key, temperature, top_k,
+                                           top_p, vocab)
 
             self._logits_fns[cache_key] = fn
         return self._logits_fns[cache_key]
@@ -268,37 +360,37 @@ class GenerationSampler:
                               if mod in cond_mods else d)
                         for mod, d in dev.items()
                     }
+                    # Split-shape CFG: cond and uncond run at their own
+                    # encoder lengths through BOTH the encoder and the
+                    # decoder cross-attention — padding the uncond context to
+                    # the cond length would waste up to ~60% of the uncond
+                    # cross-attn FLOPs on blocked keys.
                     ctx_c, mask_c = model.apply(
                         params, dev, num_enc_c,
                         method=EgoM2P.forward_enc_context)
                     ctx_u, mask_u = model.apply(
                         params, un_view, num_enc_u,
                         method=EgoM2P.forward_enc_context)
-                    pad = ctx_c.shape[1] - ctx_u.shape[1]
-                    ctx_u = jnp.pad(ctx_u, ((0, 0), (0, pad), (0, 0)))
-                    mask_u = jnp.pad(mask_u, ((0, 0), (0, 0), (0, pad)),
-                                     constant_values=True)  # blocked keys
-                    context = jnp.concatenate([ctx_c, ctx_u], axis=0)
-                    enc_mask = jnp.concatenate([mask_c, mask_u], axis=0)
-                    tgt = dev[target_mod]
-                    dec_view = {target_mod: {
-                        kk: jnp.concatenate([vv, vv], axis=0)
-                        for kk, vv in tgt.items()}}
-                    ids2 = jnp.concatenate([ids_keep, ids_keep], axis=0)
+                    y_c = model.apply(
+                        params, dev, target_mod, ctx_c, mask_c, ids_keep,
+                        method=EgoM2P.forward_dec_subset_hidden)
+                    y_u = model.apply(
+                        params, dev, target_mod, ctx_u, mask_u, ids_keep,
+                        method=EgoM2P.forward_dec_subset_hidden)
+                    y = jnp.concatenate([y_c, y_u], axis=0)
                 else:
                     context, enc_mask = model.apply(
                         params, dev, num_enc_c,
                         method=EgoM2P.forward_enc_context)
-                    dec_view, ids2 = dev, ids_keep
-                logits = model.apply(
-                    params, dec_view, target_mod, context, enc_mask, ids2,
-                    method=EgoM2P.forward_dec_subset_logits)
-                if use_cfg:
-                    B = logits.shape[0] // 2
-                    lc, lu = logits[:B], logits[B:]
-                    logits = lu + (lc - lu) * cfg_scale  # (generate.py:805)
-                samples, probs = sample_tokens(logits, key, temperature,
-                                               top_k, top_p)
+                    y = model.apply(
+                        params, dev, target_mod, context, enc_mask, ids_keep,
+                        method=EgoM2P.forward_dec_subset_hidden)
+                # CFG mix lu + s*(lc - lu) == weights (s, 1-s)
+                # (reference: generate.py:805)
+                weights = (cfg_scale, 1.0 - cfg_scale) if use_cfg else None
+                samples, probs = chunked_head_sample(
+                    model, params, target_mod, y, weights, key, temperature,
+                    top_k, top_p, self.info[target_mod]["vocab_size"])
                 if num_select < k:
                     # MaskGIT: keep the num_select most confident positions
                     # (reference: generate.py:652-665)
@@ -609,23 +701,23 @@ class GenerationSampler:
                      temperature, top_k, top_p)
         if cache_key not in self._logits_fns:
             model = self.model
-            w = jnp.asarray(list(weights), jnp.float32)
+            # conjunction: l_uncond + sum_i w_i (l_cond_i - l_uncond)
+            # == branch weights (w_1, ..., w_n, 1 - sum(w))
+            # (reference: generate.py:719-721, arXiv 2206.01714)
+            bw = tuple(float(x) for x in weights) + (
+                1.0 - float(sum(weights)),)
+            vocab = self.info[target_mod]["vocab_size"]
 
             @jax.jit
             def fn(params, mod_dict, ids_keep, key):
                 context, enc_mask = model.apply(
                     params, mod_dict, num_enc, method=EgoM2P.forward_enc_context)
-                logits = model.apply(
+                y = model.apply(
                     params, mod_dict, target_mod, context, enc_mask, ids_keep,
-                    method=EgoM2P.forward_dec_subset_logits)
-                B = logits.shape[0] // (n_cond + 1)
-                lu = logits[n_cond * B:]
-                # conjunction: l_uncond + sum_i w_i (l_cond_i - l_uncond)
-                # (reference: generate.py:719-721, arXiv 2206.01714)
-                mixed = lu
-                for i in range(n_cond):
-                    mixed = mixed + w[i] * (logits[i * B:(i + 1) * B] - lu)
-                return sample_tokens(mixed, key, temperature, top_k, top_p)
+                    method=EgoM2P.forward_dec_subset_hidden)
+                return chunked_head_sample(model, params, target_mod, y, bw,
+                                           key, temperature, top_k, top_p,
+                                           vocab)
 
             self._logits_fns[cache_key] = fn
         return self._logits_fns[cache_key]

@@ -429,11 +429,12 @@ class EgoM2P(nn.Module):
         context = self.decoder_proj_context(x) + encoder_emb
         return context, encoder_mask
 
-    def forward_dec_subset_logits(self, mod_dict, target_mod: str, context,
+    def forward_dec_subset_hidden(self, mod_dict, target_mod: str, context,
                                   encoder_mask, ids_keep,
                                   compute_dtype=jnp.bfloat16):
         """Decoder pass over a selected subset of still-masked target
-        positions; used by ROAR/MaskGIT steps
+        positions, stopping at the hidden states (before the vocab head);
+        used by ROAR/MaskGIT steps
         (reference: egom2p/models/generate.py:630-650, 747-766)."""
         d = mod_dict[target_mod]
         _, emb, _ = self.decoder_embeddings[target_mod].forward_embed(
@@ -443,7 +444,25 @@ class EgoM2P(nn.Module):
             self.mask_token.astype(dec_emb.dtype),
             (dec_emb.shape[0], ids_keep.shape[1], dec_emb.shape[-1]))
         y = mt + dec_emb
-        y = self.forward_decoder(y, context, encoder_mask, None)
+        return self.forward_decoder(y, context, encoder_mask, None)
+
+    def forward_mod_logits(self, target_mod: str, y):
+        """Vocab head of one modality over decoder hidden states.
+
+        Kept separate from `forward_dec_subset_hidden` so the sampler can
+        apply it to position chunks: materializing the full (B, k, 64000)
+        fp32 logits at once costs gigabytes of HBM and forces XLA into
+        compressed remat copies."""
+        return self.decoder_embeddings[target_mod].forward_logits(y)
+
+    def forward_dec_subset_logits(self, mod_dict, target_mod: str, context,
+                                  encoder_mask, ids_keep,
+                                  compute_dtype=jnp.bfloat16):
+        """Decoder subset pass incl. the vocab head (full logits — prefer the
+        hidden/chunked pair above at generation time)."""
+        y = self.forward_dec_subset_hidden(mod_dict, target_mod, context,
+                                           encoder_mask, ids_keep,
+                                           compute_dtype)
         return self.decoder_embeddings[target_mod].forward_logits(y)
 
     def forward_dec_autoregressive_logits(self, target_mod: str, out_ids, pos_emb,

@@ -43,18 +43,42 @@ def supports_flash() -> bool:
         return False
 
 
+def _default_block() -> int:
+    # Tunable without code changes for kernel A/B runs (e.g. bench sweeps).
+    # 0 = adaptive (see _choose_pad_block).
+    import os
+    return int(os.environ.get("EGOM2P_FLASH_BLOCK", "0"))
+
+
+def _choose_pad_block(n: int, block: int):
+    """(padded_n, block) for one sequence axis.
+
+    Measured on v5e (3-step ROAR chain, N in 3.5k-9k): 1024-token blocks run
+    the kernel ~8% faster than 512, 256 is ~40% slower.  Padding however costs
+    linearly (and quadratically for self-attention), so 1024 is only chosen
+    when the extra padding it needs stays under ~4% — e.g. 6912->7168 wins,
+    8704->9216 loses."""
+    if block:  # explicit override
+        return n + (-n % block), block
+    p512 = n + (-n % 512)
+    p1024 = n + (-n % 1024)
+    if p1024 <= p512 * 1.04:
+        return p1024, 1024
+    return p512, 512
+
+
 def segment_flash_attention(
     q: jnp.ndarray,  # (B, H, N, hd)
     k: jnp.ndarray,
     v: jnp.ndarray,
     segments: jnp.ndarray,  # (B, N) int32; attend only within equal ids
-    block: int = 512,
+    block: int = 0,
 ) -> jnp.ndarray:
     """Self-attention restricted to equal segment ids (flash kernel)."""
     flash_attention, SegmentIds, BlockSizes = _flash_imports()
     B, H, N, hd = q.shape
-    n_pad = -N % block
-    Np = N + n_pad
+    Np, block = _choose_pad_block(N, block or _default_block())
+    n_pad = Np - N
     qp, kp, vp = (_pad_to(t, Np, 2) for t in (q, k, v))
     seg = segments.astype(jnp.int32)
     if n_pad:
@@ -80,7 +104,7 @@ def padding_flash_attention(
     k: jnp.ndarray,  # (B, H, M, hd)
     v: jnp.ndarray,  # (B, H, M, hd)
     kv_blocked: Optional[jnp.ndarray],  # (B, M) bool, True = blocked key
-    block: int = 512,
+    block: int = 0,
 ) -> jnp.ndarray:
     """Flash attention where masking is pure key padding.
 
@@ -90,9 +114,10 @@ def padding_flash_attention(
     flash_attention, SegmentIds, BlockSizes = _flash_imports()
     B, H, N, hd = q.shape
     M = k.shape[2]
-    n_pad = -N % block
-    m_pad = -M % block
-    Np, Mp = N + n_pad, M + m_pad
+    override = block or _default_block()
+    Np, block_q = _choose_pad_block(N, override)
+    Mp, block_kv = _choose_pad_block(M, override)
+    n_pad, m_pad = Np - N, Mp - M
 
     qp = _pad_to(q, Np, 2)
     kp = _pad_to(k, Mp, 2)
@@ -108,13 +133,14 @@ def padding_flash_attention(
         if m_pad:
             kv_seg = kv_seg.at[:, M:].set(1)
 
+    bq, bk = min(block_q, Np), min(block_kv, Mp)
     bs = BlockSizes(
-        block_q=min(block, Np), block_k_major=min(block, Mp),
-        block_k=min(block, Mp), block_b=1,
-        block_q_major_dkv=min(block, Np), block_k_major_dkv=min(block, Mp),
-        block_k_dkv=min(block, Mp), block_q_dkv=min(block, Np),
-        block_k_major_dq=min(block, Mp), block_k_dq=min(block, Mp),
-        block_q_dq=min(block, Np),
+        block_q=bq, block_k_major=bk,
+        block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk,
+        block_q_dq=bq,
     )
     out = flash_attention(
         qp, kp, vp, segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
