@@ -53,7 +53,10 @@ def main():
     B = int(os.environ.get("BATCH", "8"))
     steps = int(os.environ.get("STEPS", "5"))
     MODS = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
-    model = create_model("egom2p_base_12e_12d_swiglu_nobias", MODS, MODS)
+    # per-block remat, as the training CLI defaults to (--use_act_checkpoint):
+    # without it the B=8 step needs ~25GB of activation HBM
+    model = create_model("egom2p_base_12e_12d_swiglu_nobias", MODS, MODS,
+                         use_act_checkpoint=True)
     rng = np.random.default_rng(0)
     batch = make_mod_dict(rng, batch=B, mods=MODS, n_in=2048, n_tgt=2048,
                           info=MODALITY_INFO)
