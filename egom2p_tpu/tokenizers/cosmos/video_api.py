@@ -109,6 +109,30 @@ class CausalVideoTokenizer:
         """(B, t, h, w) token indices -> video (B, 1+(t-1)*pt, H, W, 3) in [-1,1]."""
         return self._decode_code(self.params, indices)
 
+    def autoencode(self, video_pm1: jnp.ndarray):
+        """encode -> decode round trip on one padded window
+        (reference: video_lib_ori.py:85-99)."""
+        indices, _ = self.encode(video_pm1)
+        return self.decode(indices)
+
+    def reconstruct(self, video_uint8, temporal_window: int = 17) -> np.ndarray:
+        """Reconstruct arbitrary-length uint8 video through the autoencoder
+        with a sliding temporal window; returns uint8 (B, T', H, W, 3)
+        (reference: video_lib_ori.py:122-154 -- the upstream copy whose
+        forward() returns reconstructed video instead of tokens)."""
+        assert video_uint8.ndim == 5
+        num_frames = video_uint8.shape[1]
+        outs = []
+        for idx in range((num_frames - 1) // temporal_window + 1):
+            window = np.asarray(
+                video_uint8[:, idx * temporal_window:(idx + 1) * temporal_window])
+            padded, crop = pad_video_batch(
+                window, temporal_align=2 * self.cfg.temporal_compression,
+                spatial_align=2 * self.cfg.spatial_compression)
+            rec = self.autoencode(jnp.asarray(numpy2tensor(padded)))
+            outs.append(unpad_video_batch(tensor2numpy(rec), crop))
+        return np.concatenate(outs, axis=1)
+
     def forward(self, video_uint8, temporal_window: int = 17,
                 device_out: bool = False):
         """Tokenize arbitrary-length uint8 video with a sliding temporal window

@@ -92,3 +92,14 @@ def test_dv_encode_decode_shapes(small_tokenizer):
     recon = tok.decode(jnp.asarray(tokens))
     assert recon.shape == (1, 17, 64, 64, 3)
     assert np.isfinite(np.asarray(recon, dtype=np.float32)).all()
+
+
+def test_dv_reconstruct_video(small_tokenizer):
+    """Sliding-window autoencoder reconstruction keeps the input geometry
+    (reference: video_lib_ori.py:122-154)."""
+    tok = small_tokenizer
+    rng = np.random.default_rng(1)
+    video = rng.integers(0, 255, size=(1, 20, 64, 64, 3)).astype(np.uint8)
+    recon = tok.reconstruct(video, temporal_window=17)
+    assert recon.shape == video.shape
+    assert recon.dtype == np.uint8
