@@ -47,13 +47,15 @@ def _gen_flops_per_batch(B, n_layers=12, dim=768, vocab=64000,
         for n in (n_c, n_u):  # encoder on cond + (split-shape) uncond
             total += n_layers * (8 * n * dim**2 + 4 * n**2 * dim
                                  + 2 * n * 3 * dim * h) * B
-        # decoder over k positions, stacked cond+uncond (2B), cross to n_c
-        twoB = 2 * B
-        total += n_layers * (8 * k * dim**2 + 4 * k**2 * dim
-                             + 4 * k * n_c * dim + 4 * k * dim**2
-                             + 2 * k * 3 * dim * h) * twoB
+        # decoder over k positions: cond branch crosses to n_c, uncond (same
+        # B) to n_u — split-shape, incl. the per-layer cross K/V projections
+        for n_ctx in (n_c, n_u):
+            total += n_layers * (8 * k * dim**2 + 4 * k**2 * dim
+                                 + 4 * k * n_ctx * dim + 4 * k * dim**2
+                                 + 4 * n_ctx * dim**2
+                                 + 2 * k * 3 * dim * h) * B
         # 64k-vocab logits head
-        total += 2 * k * dim * vocab * twoB
+        total += 2 * k * dim * vocab * 2 * B  # 64k head on both branches
     return total
 
 

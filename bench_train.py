@@ -24,13 +24,15 @@ def train_flops_per_sample(n_in=2048, n_tgt=2048, n_layers=12, dim=768,
                            h=2048, vocab=64000):
     """Analytic fwd FLOPs; bwd ~= 2x fwd => total 3x.
 
-    Encoder at N=n_in; decoder self at n_tgt + cross to n_in; the CE head is
+    Encoder at N=n_in; decoder self at n_tgt + cross to n_in (incl. the
+    per-layer K/V projections over the n_in context); the CE head is
     counted at the 64k video vocab for every target token (upper bound: the
     cam/gaze share of the budget uses a 256 vocab)."""
     enc = n_layers * (8 * n_in * dim**2 + 4 * n_in**2 * dim
                       + 6 * n_in * dim * h)
     dec = n_layers * (8 * n_tgt * dim**2 + 4 * n_tgt**2 * dim
                       + 4 * n_tgt * n_in * dim + 4 * n_tgt * dim**2
+                      + 4 * n_in * dim**2
                       + 6 * n_tgt * dim * h)
     head = 2 * n_tgt * dim * vocab
     return 3 * (enc + dec + head)

@@ -219,15 +219,17 @@ def sample_tokens(logits: jnp.ndarray, key, temperature: float,
     return choice, sampled
 
 
-def chunked_head_sample(model, params, target_mod: str, y, branch_weights,
+def chunked_head_sample(model, params, target_mod: str, y, cond_weights,
                         key, temperature: float, top_k: float, top_p: float,
                         vocab_size: int, chunk: int = 256):
     """Vocab head + guidance mix + sampling over POSITION chunks.
 
-    `y`: (G*B, k, dim) decoder hidden states, G stacked guidance branches
-    (G=1 when guidance is off).  `branch_weights`: per-branch logit weights
-    (CFG ``lu + s*(lc - lu)`` == weights ``[s, 1-s]``; the multi-guidance
-    conjunction likewise), or None for G=1.
+    `y`: (G*B, k, dim) decoder hidden states — G stacked guidance branches
+    ordered [cond_1, ..., cond_n, uncond] (G=1 when guidance is off).
+    `cond_weights`: per-cond-branch guidance weights, mixed EXACTLY in the
+    reference's form ``l_uncond + sum_i w_i * (l_cond_i - l_uncond)``
+    (generate.py:805, :719-721 — same fp32 rounding, so results are
+    bit-identical to the unchunked formulation), or None for G=1.
 
     Materializing the full (G*B, k, 64000) fp32 logits costs up to ~20 GB of
     HBM and drives XLA into compressed remat copies (~30x slower than the
@@ -239,12 +241,16 @@ def chunked_head_sample(model, params, target_mod: str, y, branch_weights,
     Returns (samples (B, k) int32, sampled_probs (B, k) f32).
     """
     GB, k, _ = y.shape
-    G = 1 if branch_weights is None else len(branch_weights)
+    G = 1 if cond_weights is None else len(cond_weights) + 1
     B = GB // G
     k_user, K = _candidate_count(vocab_size, temperature, top_k, top_p)
     untruncated = K >= vocab_size and not k_user and not (top_p and top_p > 0)
 
+    # chunk positions; balance the chunk size so padding waste stays under
+    # one 8-row MXU tile (k is static per jit cache key — no recompiles)
     n_chunks = max(1, -(-k // chunk))
+    per_chunk = -(-k // n_chunks)          # ceil
+    chunk = max(8, -(-per_chunk // 8) * 8)  # round up to a tile row
     pad = n_chunks * chunk - k
     if pad:
         y = jnp.pad(y, ((0, 0), (0, pad), (0, 0)))
@@ -255,9 +261,10 @@ def chunked_head_sample(model, params, target_mod: str, y, branch_weights,
         logits = model.apply(params, target_mod, yc,
                              method=EgoM2P.forward_mod_logits)  # (GB, c, V)
         if G > 1:
-            mixed = branch_weights[0] * logits[:B]
-            for i in range(1, G):
-                mixed = mixed + branch_weights[i] * logits[i * B:(i + 1) * B]
+            lu = logits[(G - 1) * B:]
+            mixed = lu
+            for i, w in enumerate(cond_weights):
+                mixed = mixed + w * (logits[i * B:(i + 1) * B] - lu)
         else:
             mixed = logits
         if abs(temperature) < 1e-10:
@@ -321,9 +328,8 @@ class GenerationSampler:
                 y = model.apply(
                     params, mod_dict, target_mod, context, enc_mask, ids_keep,
                     method=EgoM2P.forward_dec_subset_hidden)  # (B', k, dim)
-                # CFG mix lu + s*(lc - lu) == weights (s, 1-s)
-                # (reference: generate.py:805)
-                weights = (cfg_scale, 1.0 - cfg_scale) if use_cfg else None
+                # CFG mix lu + s*(lc - lu) (reference: generate.py:805)
+                weights = (cfg_scale,) if use_cfg else None
                 return chunked_head_sample(model, params, target_mod, y,
                                            weights, key, temperature, top_k,
                                            top_p, vocab)
@@ -385,9 +391,8 @@ class GenerationSampler:
                     y = model.apply(
                         params, dev, target_mod, context, enc_mask, ids_keep,
                         method=EgoM2P.forward_dec_subset_hidden)
-                # CFG mix lu + s*(lc - lu) == weights (s, 1-s)
-                # (reference: generate.py:805)
-                weights = (cfg_scale, 1.0 - cfg_scale) if use_cfg else None
+                # CFG mix lu + s*(lc - lu) (reference: generate.py:805)
+                weights = (cfg_scale,) if use_cfg else None
                 samples, probs = chunked_head_sample(
                     model, params, target_mod, y, weights, key, temperature,
                     top_k, top_p, self.info[target_mod]["vocab_size"])
@@ -484,6 +489,11 @@ class GenerationSampler:
         d = mod_dict[target_mod]
         # positions still to predict: target_mask == False (reference keeps
         # decoder candidates where the target mask is unset, generate.py:460)
+        # NOTE row 0 sets the shared per-step k, exactly like the reference's
+        # schedule-wide num_tokens: a row with fewer open positions has
+        # already-filled positions re-selected and resampled (the reference's
+        # argsort-gather does the same, generate.py:460-516) — ragged per-row
+        # masking is not a supported inpainting surface in either codebase.
         open_mask = ~d["target_mask"]
         n_remaining = int(open_mask[0].sum())
         if n_remaining == 0:
@@ -702,10 +712,8 @@ class GenerationSampler:
         if cache_key not in self._logits_fns:
             model = self.model
             # conjunction: l_uncond + sum_i w_i (l_cond_i - l_uncond)
-            # == branch weights (w_1, ..., w_n, 1 - sum(w))
             # (reference: generate.py:719-721, arXiv 2206.01714)
-            bw = tuple(float(x) for x in weights) + (
-                1.0 - float(sum(weights)),)
+            bw = tuple(float(x) for x in weights)
             vocab = self.info[target_mod]["vocab_size"]
 
             @jax.jit
@@ -884,6 +892,15 @@ class GenerationSampler:
                     jax.device_get(dev[mod]["tensor"]))
             dirty.clear()
 
+        def materialize_host():
+            # Host-resident steps (seq targets, the stacked seq-CFG branch)
+            # mutate mod_dict tensors in place, so caller-provided
+            # device-resident tensors must come down to numpy first.
+            sync_to_host()
+            for d in mod_dict.values():
+                if isinstance(d["tensor"], jax.Array):
+                    d["tensor"] = np.asarray(jax.device_get(d["tensor"]))
+
         for step, s in enumerate(schedule):
             target_mod = s["target_domain"]
             rng = np.random.default_rng(
@@ -897,9 +914,9 @@ class GenerationSampler:
                     mod_dict, dev, dirty, target_mod, s["scheme"],
                     s["num_tokens"], s["temperature"], top_k, top_p,
                     s.get("cfg_cond_domains", []), s.get("cfg_scale", 1.0),
-                    rng, sub, sync_to_host)
+                    rng, sub, materialize_host)
             elif mtype in SEQ_TYPES:
-                sync_to_host()
+                materialize_host()
                 dev = None  # seq merging may change shapes; re-upload lazily
                 self._seq_step(
                     mod_dict, target_mod, s["temperature"], top_k, top_p,

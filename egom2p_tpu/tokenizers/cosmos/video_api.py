@@ -54,6 +54,25 @@ def tensor2numpy(video: np.ndarray) -> np.ndarray:
     return (np.clip(x, 0, 1) * 255.0 + 0.5).astype(np.uint8)
 
 
+def sliding_window_autoencode(autoencode_fn, video_uint8,
+                              temporal_window: int, temporal_align: int,
+                              spatial_align: int) -> np.ndarray:
+    """Reconstruct arbitrary-length uint8 video window by window: pad each
+    `temporal_window` slice to the compression alignment, run
+    `autoencode_fn` ([-1,1] fp32 in/out), and unpad back
+    (reference: video_lib_ori.py:122-154, video_lib.py:118-152)."""
+    assert video_uint8.ndim == 5
+    num_frames = video_uint8.shape[1]
+    outs = []
+    for idx in range((num_frames - 1) // temporal_window + 1):
+        window = np.asarray(
+            video_uint8[:, idx * temporal_window:(idx + 1) * temporal_window])
+        padded, crop = pad_video_batch(window, temporal_align, spatial_align)
+        recon = autoencode_fn(jnp.asarray(numpy2tensor(padded)))
+        outs.append(unpad_video_batch(tensor2numpy(recon), crop))
+    return np.concatenate(outs, axis=1)
+
+
 class CausalVideoTokenizer:
     """Bundles the flax network + params with encode/decode/forward."""
 
@@ -120,18 +139,10 @@ class CausalVideoTokenizer:
         with a sliding temporal window; returns uint8 (B, T', H, W, 3)
         (reference: video_lib_ori.py:122-154 -- the upstream copy whose
         forward() returns reconstructed video instead of tokens)."""
-        assert video_uint8.ndim == 5
-        num_frames = video_uint8.shape[1]
-        outs = []
-        for idx in range((num_frames - 1) // temporal_window + 1):
-            window = np.asarray(
-                video_uint8[:, idx * temporal_window:(idx + 1) * temporal_window])
-            padded, crop = pad_video_batch(
-                window, temporal_align=2 * self.cfg.temporal_compression,
-                spatial_align=2 * self.cfg.spatial_compression)
-            rec = self.autoencode(jnp.asarray(numpy2tensor(padded)))
-            outs.append(unpad_video_batch(tensor2numpy(rec), crop))
-        return np.concatenate(outs, axis=1)
+        return sliding_window_autoencode(
+            self.autoencode, video_uint8, temporal_window,
+            2 * self.cfg.temporal_compression,
+            2 * self.cfg.spatial_compression)
 
     def forward(self, video_uint8, temporal_window: int = 17,
                 device_out: bool = False):
@@ -200,18 +211,9 @@ class ContinuousVideoTokenizer:
     def forward(self, video_uint8, temporal_window: int = 17) -> np.ndarray:
         """uint8 (B,T,H,W,3) -> reconstructed uint8, windowed like the
         reference (video_lib.py:118-152)."""
-        assert video_uint8.ndim == 5
-        ta = 2 * self.cfg.temporal_compression
-        sa = 2 * self.cfg.spatial_compression
-        num_frames = video_uint8.shape[1]
-        out = []
-        for idx in range((num_frames - 1) // temporal_window + 1):
-            window = np.asarray(
-                video_uint8[:, idx * temporal_window:(idx + 1) * temporal_window])
-            padded, crop = pad_video_batch(window, ta, sa)
-            recon = np.asarray(self.autoencode(numpy2tensor(padded)),
-                               dtype=np.float32)
-            out.append(unpad_video_batch(tensor2numpy(recon), crop))
-        return np.concatenate(out, axis=1)
+        return sliding_window_autoencode(
+            self.autoencode, video_uint8, temporal_window,
+            2 * self.cfg.temporal_compression,
+            2 * self.cfg.spatial_compression)
 
     __call__ = forward

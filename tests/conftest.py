@@ -17,7 +17,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: the suite is compile-dominated (tiny
 # shapes, many jit paths), so repeat runs skip straight to execution.
+#
+# The cache dir is keyed per machine type (see core/cache.py:host_fingerprint):
+# XLA:CPU AOT entries refuse to load on a host with different CPU features,
+# and a stale shared dir then forces a full recompile on EVERY run.
 from egom2p_tpu.core.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache(os.environ.get("EGOM2P_TEST_JAX_CACHE",
-                                       "/root/.jax_cache_tests"))
+                                       "/root/.jax_cache_tests"),
+                        per_machine=True)

@@ -75,17 +75,18 @@ def test_chunked_matches_unchunked_single_branch(tiny, temperature, top_k,
 
 
 def test_chunked_matches_unchunked_cfg(tiny):
-    """CFG branch weights (s, 1-s) must reproduce lu + s*(lc - lu)."""
+    """CFG cond weights (s,) must reproduce lu + s*(lc - lu) bit-exactly
+    (same fp32 expression form as the reference, generate.py:805)."""
     model, params, y, vocab = tiny
     scale = 2.0
     key = jax.random.PRNGKey(11)
     B = y.shape[0] // 2
     logits = _full_logits(model, params, y)
     lc, lu = logits[:B], logits[B:]
-    mixed = lu + (lc - lu) * scale
+    mixed = lu + scale * (lc - lu)
     s_ref, p_ref = sample_tokens(mixed, key, 0.7, 0.0, 0.8)
     s_chk, p_chk = chunked_head_sample(model, params, "tok_gaze", y,
-                                       (scale, 1.0 - scale), key, 0.7, 0.0,
+                                       (scale,), key, 0.7, 0.0,
                                        0.8, vocab, chunk=4)
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_chk))
     np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_chk),

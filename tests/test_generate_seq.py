@@ -52,6 +52,25 @@ def test_autoregressive_seq_generation(seq_setup, cfg):
     assert (d["tensor"][filled] < 64).all()
 
 
+def test_seq_generation_with_device_resident_conditioning(seq_setup):
+    """Caller-provided device (jax.Array) conditioning tensors must work on
+    the host-resident seq path: the sampler materializes them to numpy before
+    any in-place mutation (regression: the dirty-only final sync must not
+    drop that materialization)."""
+    import jax.numpy as jnp
+
+    model, params, mod_dict, info = seq_setup
+    sampler = GenerationSampler(model, params, info)
+    md = {m: {k: np.array(v) for k, v in d.items()}
+          for m, d in mod_dict.items()}
+    md["tok_rgb"]["tensor"] = jnp.asarray(md["tok_rgb"]["tensor"])
+    schedule = build_chained_generation_schedules(
+        ["tok_rgb"], ["caption"], [12], ["autoregressive"], [0], ["linear"],
+        [0.7], ["constant"], [2.0], ["constant"])
+    out = sampler.generate(md, schedule, top_p=0.9, seed=3)
+    assert (~out["caption"]["input_mask"]).sum() >= 1
+
+
 def test_lora_roundtrip():
     from egom2p_tpu.models.lora import (init_lora_params, lora_train_step_fn,
                                         merge_lora)
