@@ -85,13 +85,17 @@ def segment_flash_attention(
         # padded slots get a segment no real token uses
         pad_seg = jnp.full((B, n_pad), jnp.iinfo(jnp.int32).max, jnp.int32)
         seg = jnp.concatenate([seg, pad_seg], axis=1)
+    # Backward (dkv/dq) blocks stay at <=512: the bwd kernels carry ~2x the
+    # VMEM working set and exceed the 16MB scoped limit at 1024-token blocks.
+    bb = min(512, Np)
+    bf = min(block, Np)
     bs = BlockSizes(
-        block_q=min(block, Np), block_k_major=min(block, Np),
-        block_k=min(block, Np), block_b=1,
-        block_q_major_dkv=min(block, Np), block_k_major_dkv=min(block, Np),
-        block_k_dkv=min(block, Np), block_q_dkv=min(block, Np),
-        block_k_major_dq=min(block, Np), block_k_dq=min(block, Np),
-        block_q_dq=min(block, Np),
+        block_q=bf, block_k_major=bf,
+        block_k=bf, block_b=1,
+        block_q_major_dkv=bb, block_k_major_dkv=bb,
+        block_k_dkv=bb, block_q_dkv=bb,
+        block_k_major_dq=bb, block_k_dq=bb,
+        block_q_dq=bb,
     )
     out = flash_attention(qp, kp, vp,
                           segment_ids=SegmentIds(q=seg, kv=seg),
@@ -134,13 +138,16 @@ def padding_flash_attention(
             kv_seg = kv_seg.at[:, M:].set(1)
 
     bq, bk = min(block_q, Np), min(block_kv, Mp)
+    # Backward blocks capped at 512 (bwd kernels VMEM-OOM at 1024; see
+    # segment_flash_attention).
+    bqb, bkb = min(512, Np), min(512, Mp)
     bs = BlockSizes(
         block_q=bq, block_k_major=bk,
         block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bk,
-        block_k_dkv=bk, block_q_dkv=bq,
-        block_k_major_dq=bk, block_k_dq=bk,
-        block_q_dq=bq,
+        block_q_major_dkv=bqb, block_k_major_dkv=bkb,
+        block_k_dkv=bkb, block_q_dkv=bqb,
+        block_k_major_dq=bkb, block_k_dq=bkb,
+        block_q_dq=bqb,
     )
     out = flash_attention(
         qp, kp, vp, segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
