@@ -22,13 +22,28 @@ from egom2p_tpu.masking.unified import UnifiedMasking
 
 def make_empty_mod_entry(info: Dict) -> Dict[str, np.ndarray]:
     """Fully-masked placeholder for a modality absent from a dataset
-    (reference: unified_datasets.py:491-553)."""
-    if info["type"] in ("img", "cam", "gaze", "keypoints"):
+    (reference: unified_datasets.py:491-553).  The tensor shape/dtype must
+    match what UnifiedMasking emits for real samples of that modality or
+    np.stack in the batcher fails."""
+    spec = info.get("embed_spec", {})
+    kind = spec.get("kind", "")
+    if kind == "sequence_emb":
+        # float embedding rows, token-level masks (sequence_emb_mask_span)
         L = info["max_tokens"]
+        tensor = np.zeros((L, spec["orig_emb_dim"]), dtype=np.float32)
+    elif kind == "image_raw":
+        # raw pixels pass through image_mask untouched; masks are per patch
+        L = info["max_tokens"]
+        size, ch = spec["image_size"], spec["num_channels"]
+        tensor = np.zeros((size, size, ch), dtype=np.float32)
+    elif info["type"] in ("img", "cam", "gaze", "keypoints"):
+        L = info["max_tokens"]
+        tensor = np.zeros(L, dtype=np.int32)
     else:
         L = (info["max_tokens"] + 1) * 2
+        tensor = np.zeros(L, dtype=np.int32)
     return {
-        "tensor": np.zeros(L, dtype=np.int32),
+        "tensor": tensor,
         "input_mask": np.ones(L, dtype=bool),
         "target_mask": np.ones(L, dtype=bool),
         "decoder_attention_mask": np.zeros(L, dtype=np.int32),
@@ -44,17 +59,25 @@ class DatasetStream:
         self.masking = masking
         self._it = iter(self.factory())
 
-    def reseed(self, worker_seed: int) -> None:
+    def reseed(self, worker_seed: int, worker_id: int = 0,
+               num_workers: int = 1) -> None:
         """Give this (forked) copy of the stream an independent sample order:
-        reseeds the masking rng and, when the factory accepts a `seed` kwarg,
-        rebuilds the raw iterator with a worker-specific shuffle (the
-        reference splits wds shards per DataLoader worker,
+        reseeds the masking rng and, when the factory supports it, rebuilds
+        the raw iterator with a worker-specific shuffle AND a per-worker
+        shard split (the reference splits wds shards per DataLoader worker,
         unified_datasets.py:373-398)."""
         import inspect
         self.masking.rng = np.random.default_rng(worker_seed)
         try:
-            if "seed" in inspect.signature(self.factory).parameters:
-                self._it = iter(self.factory(seed=worker_seed))
+            params = inspect.signature(self.factory).parameters
+            kw = {}
+            if "seed" in params:
+                kw["seed"] = worker_seed
+            if "worker_id" in params and "num_workers" in params:
+                kw["worker_id"] = worker_id
+                kw["num_workers"] = num_workers
+            if kw:
+                self._it = iter(self.factory(**kw))
                 return
         except (TypeError, ValueError):
             pass
@@ -109,19 +132,27 @@ class MixtureLoader:
                           "decoder_attention_mask")
             }
             # shards may store tokens as narrow ints (reference converts
-            # int16 -> int64 on load, unified_datasets.py:218-222)
-            batch[mod]["tensor"] = batch[mod]["tensor"].astype(np.int32)
+            # int16 -> int64 on load, unified_datasets.py:218-222); float
+            # modalities (seq_emb embeddings, raw pixels) stay float32
+            t = batch[mod]["tensor"]
+            batch[mod]["tensor"] = (t.astype(np.int32) if t.dtype.kind in "iu"
+                                    else t.astype(np.float32))
         return batch
 
     # ------------------------------------------------- multi-process workers
     def _worker_loop(self, mpq, worker_id: int) -> None:
         """Runs in a forked child: independent rng + reseeded streams, pushes
         ready batches to the parent."""
+        import zlib
         try:
             self.rng = np.random.default_rng(
                 self.seed + 1000 * (worker_id + 1))
             for s in self.streams:
-                s.reseed(self.seed + 1000 * (worker_id + 1) + hash(s.name) % 997)
+                # crc32, not hash(): str hash is PYTHONHASHSEED-randomized
+                # per interpreter, which would break cross-run reproducibility
+                name_salt = zlib.crc32(s.name.encode()) % 997 + 1
+                s.reseed(self.seed + 1000 * (worker_id + 1) + name_salt,
+                         worker_id=worker_id, num_workers=self.num_workers)
             while True:
                 mpq.put(self._one_batch())
         except Exception as e:  # pragma: no cover - surfaced in consumer
@@ -151,18 +182,34 @@ class MixtureLoader:
             yield from self._iter_multiprocess()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
 
         def worker():
             try:
-                while True:
-                    q.put(self._one_batch())
+                while not stop.is_set():
+                    item = self._one_batch()
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
             except Exception as e:  # surfaces in the consumer
                 q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # abandoning the iterator (e.g. a bounded eval pass) must stop
+            # the prefetch thread, or every eval leaks a thread + open tars
+            stop.set()
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass

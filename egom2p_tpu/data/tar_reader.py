@@ -127,7 +127,11 @@ def shard_split(items: Sequence, rank: int, world_size: int) -> List:
 
 
 def shuffled(it: Iterator, buffer_size: int, rng: random.Random) -> Iterator:
-    """Streaming shuffle with a reservoir buffer (wds .shuffle equivalent)."""
+    """Streaming shuffle with a reservoir buffer (wds .shuffle equivalent).
+    buffer_size <= 0 means no shuffling (pass-through)."""
+    if buffer_size <= 0:
+        yield from it
+        return
     buf = []
     for x in it:
         if len(buf) < buffer_size:
@@ -141,13 +145,10 @@ def shuffled(it: Iterator, buffer_size: int, rng: random.Random) -> Iterator:
 
 
 def repeated(it_factory, n_repeats: int) -> Iterator:
-    """Re-yield each underlying sample stream n times
-    (wds_n_repeats, reference: unified_datasets.py:356)."""
-    while True:
-        count = 0
-        for x in it_factory():
-            for _ in range(n_repeats):
-                yield x
-            count += 1
-        if count == 0:
-            return
+    """ONE pass over the stream with each sample yielded n times
+    (wds_n_repeats, reference: unified_datasets.py:356).  Epoch continuation
+    is the caller's job: DatasetStream rebuilds the factory on exhaustion, so
+    the streaming-shuffle tail flush runs once per pass rather than never."""
+    for x in it_factory():
+        for _ in range(n_repeats):
+            yield x

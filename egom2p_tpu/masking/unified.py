@@ -284,8 +284,7 @@ class UnifiedMasking:
                 out[mod] = self.image_mask(mod_dict[mod], info["max_tokens"],
                                            bi, bt)
             elif mtype == "seq":
-                keep = info.get("keep", ["random"] * self.num_dirichlets)[dir_idx] \
-                    if "keep" in info else "random"
+                keep = info["keep"][dir_idx] if "keep" in info else "random"
                 out[mod] = self.sequence_mask(mod_dict[mod], info["max_tokens"],
                                               bi, bt, keep)
             elif mtype == "seq_token":
@@ -332,15 +331,55 @@ class TransferMasking:
                 "target_mask": np.zeros(num_tokens, dtype=bool),
                 "decoder_attention_mask": attn}
 
+    def _sequence(self, sequence_str: str, max_tokens: int, as_input: bool):
+        """Span-pack a text sequence fully as input (keep_prob=1) or fully as
+        target (keep_prob=0) (reference: masking.py:644-727)."""
+        if self.text_tokenizer is None:
+            raise ValueError(
+                "TransferMasking with sequence modalities needs a text "
+                "tokenizer (pass text_tokenizer=...)")
+        seq_ids = list(self.text_tokenizer.encode(sequence_str).ids)
+        seq_ids.append(self.eos_id)
+        seq_ids = seq_ids[:max_tokens]
+        rng = np.random.default_rng(0)  # keep_prob 1/0 is deterministic
+        if as_input:
+            input_ids, target_ids = simple_span_masking(
+                seq_ids, self.sentinel_to_id, 1.0, rng)
+        else:
+            input_ids = []
+            _, target_ids = simple_span_masking(
+                seq_ids, self.sentinel_to_id, 0.0, rng)
+        max_length = (max_tokens + 1) * 2
+        tensor = np.full(max_length, self.pad_id, dtype=np.int32)
+        input_mask = np.ones(max_length, dtype=bool)
+        target_mask = np.ones(max_length, dtype=bool)
+        attn = np.zeros(max_length, dtype=np.int32)
+        tensor[:len(input_ids)] = input_ids
+        input_mask[:len(input_ids)] = False
+        tensor[max_tokens:max_tokens + len(target_ids)] = target_ids
+        target_mask[max_tokens:max_tokens + len(target_ids)] = False
+        attn[max_tokens:max_tokens + len(target_ids)] = 1
+        return {"tensor": tensor, "input_mask": input_mask,
+                "target_mask": target_mask, "decoder_attention_mask": attn}
+
     def __call__(self, mod_dict):
         out = {}
         for mod, info in self.modality_info.items():
-            if info["type"] in IMG_TYPES and mod in self.input_modalities:
-                out[mod] = self.input_image(mod_dict[mod], info["max_tokens"])
-            elif info["type"] in IMG_TYPES and mod in self.target_modalities:
-                out[mod] = self.target_image(mod_dict[mod], info["max_tokens"])
-            else:
+            is_input = mod in self.input_modalities
+            is_target = mod in self.target_modalities
+            if not (is_input or is_target):
                 raise ValueError(f"modality {mod} not in input or target set")
+            if info["type"] in IMG_TYPES:
+                fn = self.input_image if is_input else self.target_image
+                out[mod] = fn(mod_dict[mod], info["max_tokens"])
+            elif info["type"] == "seq":
+                out[mod] = self._sequence(mod_dict[mod], info["max_tokens"],
+                                          as_input=is_input)
+            else:
+                raise ValueError(
+                    f"TransferMasking does not support type "
+                    f"{info['type']!r} ({mod}) — matches the reference, "
+                    f"masking.py:739-744")
         if "mask_valid" in mod_dict:
             out["mask_valid"] = mod_dict["mask_valid"]
         return out

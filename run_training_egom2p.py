@@ -213,13 +213,21 @@ def setup_data(args, mesh):
             buf = dcfg.get("wds_shuffle_buffer_tar", 1000)
             pyr = pyrandom.Random(args.seed)
 
-            def factory(seed=None, per_mod=per_mod, n_rep=n_rep, buf=buf,
-                        pyr=pyr):
+            def factory(seed=None, worker_id=0, num_workers=1,
+                        per_mod=per_mod, n_rep=n_rep, buf=buf, pyr=pyr):
                 # worker processes pass their own seed for an independent
-                # shuffle order (see MixtureLoader num_workers)
+                # shuffle order plus a per-worker shard split, so N workers
+                # partition the shard list instead of each re-reading all of
+                # it (reference wds worker splitter,
+                # unified_datasets.py:373-398)
                 r = pyrandom.Random(seed) if seed is not None else pyr
+                pm = per_mod
+                n_shards = min(len(v) for v in per_mod.values())
+                if num_workers > 1 and n_shards >= num_workers:
+                    pm = {k: shard_split(v, worker_id, num_workers)
+                          for k, v in per_mod.items()}
                 return shuffled(
-                    repeated(lambda: multi_tarfile_samples(per_mod), n_rep),
+                    repeated(lambda: multi_tarfile_samples(pm), n_rep),
                     buf, r)
 
             streams.append(DatasetStream(name, factory, masking))

@@ -193,3 +193,117 @@ def test_huggingface_dataset_path(tmp_path):
     batch = next(iter(loader))
     assert batch["tok_rgb"]["tensor"].shape[1] == L_rgb
     assert batch["tok_cam"]["tensor"].dtype == np.int32
+
+
+def test_mixture_float_modality_placeholders_and_dtype():
+    """seq_emb (float embeddings) must survive batching with the right
+    placeholder shape when absent from a dataset, and must NOT be cast to
+    int (review findings: blanket int32 cast / 1-D int placeholder)."""
+    import numpy as np
+
+    from egom2p_tpu.data.mixture import (DatasetStream, MixtureLoader,
+                                         make_empty_mod_entry)
+    from egom2p_tpu.masking.unified import UnifiedMasking
+
+    info = {
+        "tok_cam": {"type": "cam", "vocab_size": 256, "min_tokens": 0,
+                    "max_tokens": 8, "id": 1,
+                    "input_alphas": [1.0], "target_alphas": [1.0]},
+        "t5_caption": {"type": "seq_emb", "min_tokens": 0, "max_tokens": 6,
+                       "id": 2, "input_alphas": [1.0], "target_alphas": [0.0],
+                       "keep": ["all"],
+                       "embed_spec": {"kind": "sequence_emb", "max_length": 6,
+                                      "orig_emb_dim": 16}},
+    }
+    # placeholder shape matches the masked-sample shape
+    ph = make_empty_mod_entry(info["t5_caption"])
+    assert ph["tensor"].shape == (6, 16) and ph["tensor"].dtype == np.float32
+    assert ph["input_mask"].shape == (6,)
+
+    # dataset A provides both modalities, dataset B only tok_cam
+    rng = np.random.default_rng(0)
+
+    def gen_full():
+        while True:
+            yield {"tok_cam": rng.integers(0, 256, 8).astype(np.int32),
+                   "t5_caption": rng.normal(size=(6, 16)).astype(np.float32)}
+
+    def gen_cam_only():
+        while True:
+            yield {"tok_cam": rng.integers(0, 256, 8).astype(np.int32)}
+
+    class _FakeTok:
+        # minimal WordPiece-ish surface for sentinel machinery
+        def get_vocab(self):
+            v = {f"[S_{i}]": 10 + i for i in range(10)}
+            v.update({"[PAD]": 0, "[EOS]": 3})
+            return v
+
+        def token_to_id(self, t):
+            return self.get_vocab()[t]
+
+    cam_only_info = {"tok_cam": info["tok_cam"]}
+    mask_full = UnifiedMasking(info, _FakeTok(), 8, 8, seed=0)
+    mask_cam = UnifiedMasking(cam_only_info, None, 8, 8, seed=1)
+    loader = MixtureLoader(
+        [DatasetStream("full", gen_full, mask_full),
+         DatasetStream("camonly", gen_cam_only, mask_cam)],
+        None, info, batch_size=8, seed=0)
+    batch = next(iter(loader))
+    assert batch["t5_caption"]["tensor"].shape == (8, 6, 16)
+    assert batch["t5_caption"]["tensor"].dtype == np.float32
+    assert batch["tok_cam"]["tensor"].dtype == np.int32
+    # float values must not be integer-truncated: some non-integral entries
+    t = batch["t5_caption"]["tensor"]
+    assert (np.abs(t - np.round(t)) > 1e-3).any()
+
+
+def test_shuffled_zero_buffer_passthrough():
+    import random
+
+    from egom2p_tpu.data.tar_reader import shuffled
+
+    out = list(shuffled(iter(range(5)), 0, random.Random(0)))
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_repeated_single_pass():
+    from egom2p_tpu.data.tar_reader import repeated
+
+    out = list(repeated(lambda: iter([1, 2]), 2))
+    assert out == [1, 1, 2, 2]
+
+
+def test_mixture_thread_stops_when_iterator_abandoned():
+    import gc
+    import threading
+    import time
+
+    import numpy as np
+
+    from egom2p_tpu.data.mixture import DatasetStream, MixtureLoader
+    from egom2p_tpu.masking.unified import UnifiedMasking
+
+    info = {"tok_cam": {"type": "cam", "vocab_size": 256, "min_tokens": 0,
+                        "max_tokens": 8, "id": 1,
+                        "input_alphas": [1.0], "target_alphas": [1.0]}}
+
+    def gen():
+        rng = np.random.default_rng(0)
+        while True:
+            yield {"tok_cam": rng.integers(0, 256, 8).astype(np.int32)}
+
+    masking = UnifiedMasking(info, None, 8, 8, seed=0)
+    loader = MixtureLoader([DatasetStream("p", gen, masking)], None, info,
+                           batch_size=2, seed=0)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    assert threading.active_count() == before + 1
+    it.close()  # triggers the generator's finally -> stop event
+    del it
+    gc.collect()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before

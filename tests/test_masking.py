@@ -99,3 +99,52 @@ def test_requires_tokenizer_for_seq():
         info[m]["target_alphas"] = [1.0]
     with pytest.raises(AssertionError):
         UnifiedMasking(info, None, 32, 32)
+
+
+def test_transfer_masking_sequence_modalities():
+    """TransferMasking must handle seq modalities like the reference
+    (masking.py:644-744): inputs fully visible, targets fully span-masked."""
+    import numpy as np
+
+    from egom2p_tpu.masking.unified import TransferMasking
+
+    class _FakeTok:
+        def get_vocab(self):
+            v = {f"[S_{i}]": 10 + i for i in range(10)}
+            v.update({"[PAD]": 0, "[EOS]": 3})
+            return v
+
+        def token_to_id(self, t):
+            return self.get_vocab()[t]
+
+        class _Enc:
+            def __init__(self, ids):
+                self.ids = ids
+
+        def encode(self, s):
+            return self._Enc([30 + (ord(c) % 20) for c in s])
+
+    info = {
+        "tok_cam": {"type": "cam", "max_tokens": 8, "min_tokens": 0},
+        "caption": {"type": "seq", "max_tokens": 6, "min_tokens": 0},
+    }
+    tm = TransferMasking(info, _FakeTok(), input_modalities=["caption"],
+                         target_modalities=["tok_cam"])
+    out = tm({"caption": "abc", "tok_cam": np.arange(8)})
+    cap = out["caption"]
+    L = (6 + 1) * 2
+    assert cap["tensor"].shape == (L,)
+    # input: the whole (truncated) sequence is visible
+    n_in = int((~cap["input_mask"]).sum())
+    assert n_in >= 4  # 3 chars + EOS
+    assert (~cap["target_mask"]).sum() >= 1  # sentinel-only target side
+    cam = out["tok_cam"]
+    assert cam["input_mask"].all() and not cam["target_mask"].any()
+
+    # target sequence direction
+    tm2 = TransferMasking(info, _FakeTok(), input_modalities=["tok_cam"],
+                          target_modalities=["caption"])
+    out2 = tm2({"caption": "abc", "tok_cam": np.arange(8)})
+    cap2 = out2["caption"]
+    assert cap2["input_mask"].all()  # nothing visible as input
+    assert (~cap2["target_mask"]).sum() >= 4
