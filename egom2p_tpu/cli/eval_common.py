@@ -136,9 +136,13 @@ def run_task(task: str, cond_domain: str, target_domain: str,
     sampler = GenerationSampler(model, params)
 
     tokenizers = {}
-    needs_video = "rgb" in (cond_domain, target_domain) or "depth" in (
-        cond_domain, target_domain) or cond_domain in ("tok_rgb", "tok_depth") \
-        or target_domain in ("tok_rgb", "tok_depth")
+    # The Cosmos tokenizer is only needed to encode mp4 conditioning or to
+    # decode a video target; rgb2cam/rgb2gaze condition on pre-tokenized npz
+    # (the reference likewise comments the video tokenizer out there,
+    # eval_model_rgb2cam.py) — skipping it saves its whole load/convert.
+    needs_video = (target_domain in ("tok_rgb", "tok_depth")
+                   or (cond_domain, target_domain) in
+                   (("tok_rgb", "tok_depth"), ("tok_depth", "tok_rgb")))
     if needs_video:
         tokenizers["tok_vid"] = load_video_tokenizer(args)
     if target_domain == "tok_cam":

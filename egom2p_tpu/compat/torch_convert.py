@@ -370,7 +370,8 @@ def load_divae_encoder_warm_start(safetensors_path: str, params: Dict,
         w2d = sd["encoder.proj.weight"]            # (D, C, p, p)
         k = np.array(enc["patch_embed"]["kernel"])  # (t, p, p, C, D)
         t_mid = k.shape[0] // 2
-        k[:] = 0.0
+        # central frame only; other temporal frames keep their random init
+        # (reference: vqvae.py:513-515 copies just [:, :, t])
         k[t_mid] = w2d.transpose(2, 3, 1, 0)
         enc["patch_embed"]["kernel"] = jnp.asarray(k)
         copied.append("patch_embed.kernel")

@@ -86,14 +86,23 @@ def all_reduce_metrics(metrics: dict, mesh=None, force: bool = False) -> dict:
     garr = jax.make_array_from_process_local_data(
         sharding, np.asarray(stacked, dtype=np.float32), flat_shape)
 
-    @jax.jit
-    def mean_over_processes(x):
-        def inner(v):
-            total = jax.lax.psum(v, axes)
-            return total / (jax.process_count() * n_local)
-        return shard_map(inner, mesh=mesh, in_specs=P(axes),
-                         out_specs=P(axes))(x)
+    # one compiled reducer per (mesh, vector length): a fresh closure every
+    # call would retrace at every logging step
+    cache_key = (mesh, len(keys), n_local)
+    fn = _REDUCER_CACHE.get(cache_key)
+    if fn is None:
+        @jax.jit
+        def mean_over_processes(x):
+            def inner(v):
+                total = jax.lax.psum(v, axes)
+                return total / (jax.process_count() * n_local)
+            return shard_map(inner, mesh=mesh, in_specs=P(axes),
+                             out_specs=P(axes))(x)
 
-    out = np.asarray(jax.device_get(
-        mean_over_processes(garr).addressable_shards[0].data))
+        fn = _REDUCER_CACHE[cache_key] = mean_over_processes
+
+    out = np.asarray(jax.device_get(fn(garr).addressable_shards[0].data))
     return dict(zip(keys, out.reshape(-1, len(keys))[0].tolist()))
+
+
+_REDUCER_CACHE: dict = {}

@@ -57,6 +57,7 @@ class DatasetStream:
         self.name = name
         self.factory = sample_iter_factory
         self.masking = masking
+        self._factory_kw: Dict = {}
         self._it = iter(self.factory())
 
     def reseed(self, worker_seed: int, worker_id: int = 0,
@@ -77,6 +78,9 @@ class DatasetStream:
                 kw["worker_id"] = worker_id
                 kw["num_workers"] = num_workers
             if kw:
+                # remembered for exhaustion rebuilds: the worker must keep
+                # its shard split + seed on every pass, not just the first
+                self._factory_kw = kw
                 self._it = iter(self.factory(**kw))
                 return
         except (TypeError, ValueError):
@@ -87,7 +91,12 @@ class DatasetStream:
         try:
             raw = next(self._it)
         except StopIteration:
-            self._it = iter(self.factory())
+            if "seed" in self._factory_kw:
+                # advance the shuffle seed per pass, else every epoch of a
+                # worker replays the identical sample order
+                self._factory_kw = {**self._factory_kw,
+                                    "seed": self._factory_kw["seed"] + 1}
+            self._it = iter(self.factory(**self._factory_kw))
             raw = next(self._it)
         return self.masking(raw)
 

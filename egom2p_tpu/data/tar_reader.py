@@ -16,6 +16,7 @@ import itertools
 import random
 import re
 import tarfile
+import zipfile
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -113,7 +114,10 @@ def multi_tarfile_samples(paths_per_modality: Dict[str, Sequence[str]],
                     merged[mod] = (next(iter(payload.values()))
                                    if len(payload) == 1 else payload)
                 yield merged
-        except (tarfile.TarError, ValueError, OSError) as e:
+        except (tarfile.TarError, ValueError, OSError,
+                zipfile.BadZipFile) as e:
+            # BadZipFile: a truncated .npz member raises it from np.load and
+            # it is NOT an OSError/ValueError subclass
             if handler == "warn":
                 print(f"[tar_reader] skipping bad shard {shard_idx}: {e}")
                 continue

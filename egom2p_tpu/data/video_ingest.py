@@ -29,11 +29,20 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _build() -> None:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # compile to a process-unique temp path and os.replace() atomically:
+    # forked data-loader workers may race this build, and dlopen of a
+    # half-written .so fails with cryptic ELF errors
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO,
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp,
         "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native video ingest build failed (see compiler output):\n"
+            f"{' '.join(cmd)}\n{proc.stderr}")
+    os.replace(tmp, _SO)
 
 
 def _load() -> ctypes.CDLL:

@@ -296,14 +296,16 @@ def test_mixture_thread_stops_when_iterator_abandoned():
     masking = UnifiedMasking(info, None, 8, 8, seed=0)
     loader = MixtureLoader([DatasetStream("p", gen, masking)], None, info,
                            batch_size=2, seed=0)
-    before = threading.active_count()
+    before = set(threading.enumerate())
     it = iter(loader)
     next(it)
-    assert threading.active_count() == before + 1
+    spawned = [t for t in threading.enumerate()
+               if t not in before and "worker" in t.name]
+    assert len(spawned) == 1  # unrelated pool threads may also appear
     it.close()  # triggers the generator's finally -> stop event
     del it
     gc.collect()
     deadline = time.time() + 5
-    while threading.active_count() > before and time.time() < deadline:
+    while spawned[0].is_alive() and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() == before
+    assert not spawned[0].is_alive()
