@@ -213,12 +213,15 @@ def test_divae_warm_start_and_freeze(tmp_path):
     path = str(tmp_path / "divae.safetensors")
     save_file(sd, path)
 
+    k_before = np.asarray(tok.params["params"]["encoder"]["patch_embed"]
+                          ["kernel"])
     params = load_divae_encoder_warm_start(path, tok.params)
     k = np.asarray(params["params"]["encoder"]["patch_embed"]["kernel"])
-    # central temporal frame carries the conv2d weights, others are zero
+    # central temporal frame carries the conv2d weights; other frames keep
+    # their random init (reference: vqvae.py:513-515 copies only [:, :, t])
     np.testing.assert_allclose(k[1], sd["encoder.proj.weight"]
                                .transpose(2, 3, 1, 0), atol=1e-6)
-    np.testing.assert_allclose(k[0], 0.0)
+    np.testing.assert_allclose(k[0], k_before[0], atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(params["params"]["quant_proj"]["kernel"]),
         sd["quant_proj.weight"].reshape(latent, dim).T, atol=1e-6)
