@@ -104,6 +104,15 @@ class FM:
         slug = "models--" + path_or_id.replace("/", "--")
         snap_root = os.path.join(cache, "hub", slug, "snapshots")
         if os.path.isdir(snap_root):
+            # refs/main names the current revision; hash sort order is
+            # meaningless when several snapshots exist
+            ref = os.path.join(cache, "hub", slug, "refs", "main")
+            if os.path.isfile(ref):
+                with open(ref) as f:
+                    rev = f.read().strip()
+                cand = os.path.join(snap_root, rev)
+                if os.path.isdir(cand):
+                    return cand
             snaps = sorted(os.listdir(snap_root))
             if snaps:
                 return os.path.join(snap_root, snaps[-1])
@@ -140,10 +149,22 @@ class FM:
             sd = sd.get("model", sd) if isinstance(sd, dict) else sd
         from egom2p_tpu.data.modality_info import MODALITY_INFO
         md = {}
-        for m in model.in_domains:
-            L = (model.mod_info if model.modality_info else MODALITY_INFO
-                 )[m]["max_tokens"]
-            md[m] = {"tensor": jnp.zeros((1, L), jnp.int32),
+        # every in OR out domain must appear in the dummy init input, with
+        # the tensor shape its embedding expects, or eval_shape misses the
+        # corresponding params and the converter drops those weights
+        for m in sorted(set(model.in_domains) | set(model.out_domains)):
+            info = (model.mod_info if model.modality_info else MODALITY_INFO)[m]
+            L = info["max_tokens"]
+            spec = info.get("embed_spec", {})
+            kind = spec.get("kind", "")
+            if kind == "sequence_emb":
+                tensor = jnp.zeros((1, L, spec["orig_emb_dim"]), jnp.float32)
+            elif kind == "image_raw":
+                size, ch = spec["image_size"], spec["num_channels"]
+                tensor = jnp.zeros((1, size, size, ch), jnp.float32)
+            else:
+                tensor = jnp.zeros((1, L), jnp.int32)
+            md[m] = {"tensor": tensor,
                      "input_mask": jnp.ones((1, L), bool),
                      "target_mask": jnp.zeros((1, L), bool),
                      "decoder_attention_mask": jnp.zeros((1, L), jnp.int32)}

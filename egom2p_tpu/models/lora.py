@@ -18,19 +18,28 @@ import jax
 import jax.numpy as jnp
 
 
-DEFAULT_TARGETS = ("qkv", "kv", "q", "proj", "fc1", "fc2", "fc3")
+# Attention-module linears only, like the reference's default
+# target_replace_modules=ATTENTION_MODULES (lora_utils.py:128-134); the
+# attention-ancestor check keeps e.g. the raw-pixel patch-embed "proj" out.
+DEFAULT_TARGETS = ("qkv", "kv", "qk", "qv", "q", "proj")
+
+# packed projections get an n-times-wider bottleneck
+# (reference: lora_utils.py:146-153)
+_PACKED = {"qkv": 3, "kv": 2, "qk": 2, "qv": 2}
 
 
 def _is_target(path: Tuple[str, ...], targets) -> bool:
-    return len(path) >= 2 and path[-1] == "kernel" and path[-2] in targets
+    return (len(path) >= 2 and path[-1] == "kernel" and path[-2] in targets
+            and any("attn" in seg for seg in path[:-2]))
 
 
 def init_lora_params(params: Dict, rng: jax.Array, rank: int = 4,
                      targets=DEFAULT_TARGETS) -> Dict:
-    """Create {path: {'a': (in, r), 'b': (r, out)}} for every target kernel.
+    """Create {path: {'a': (in, r'), 'b': (r', out)}} for every attention
+    linear, with r' = num_packed * rank for packed qkv/kv projections.
 
     a ~ N(0, 1/r), b = 0 so the initial adapter is a no-op
-    (reference: lora_utils.py:59-66)."""
+    (reference: lora_utils.py:59-69)."""
     flat = jax.tree_util.tree_leaves_with_path(params)
     lora = {}
     for path, leaf in flat:
@@ -38,10 +47,11 @@ def init_lora_params(params: Dict, rng: jax.Array, rank: int = 4,
         if not _is_target(keys, targets):
             continue
         d_in, d_out = leaf.shape
+        r_eff = _PACKED.get(keys[-2], 1) * rank
         rng, k = jax.random.split(rng)
         lora["/".join(keys)] = {
-            "a": jax.random.normal(k, (d_in, rank), jnp.float32) / rank,
-            "b": jnp.zeros((rank, d_out), jnp.float32),
+            "a": jax.random.normal(k, (d_in, r_eff), jnp.float32) / rank,
+            "b": jnp.zeros((r_eff, d_out), jnp.float32),
         }
     return lora
 

@@ -28,6 +28,10 @@ class VQState(NamedTuple):
     embed: jnp.ndarray         # (K, D) codebook
     cluster_size: jnp.ndarray  # (K,) EMA usage counts
     initted: jnp.ndarray       # () bool — False until kmeans init ran
+    # (K, D) EMA of assigned-latent SUMS, used by the euclidean codebook
+    # (reference keeps a separate embed_avg buffer, quantize_lucid.py:294-297);
+    # None on cosine-sim states and checkpoints that predate the field
+    embed_avg: Optional[jnp.ndarray] = None
 
 
 class VQConfig(NamedTuple):
@@ -61,7 +65,9 @@ def init_vq_state(cfg: VQConfig, rng: jax.Array) -> VQState:
         if cfg.use_cosine_sim:
             embed = l2norm(embed)
         initted = jnp.ones((), bool)
-    return VQState(embed=embed, cluster_size=jnp.zeros((cfg.codebook_size,), jnp.float32),
+    embed_avg = None if cfg.use_cosine_sim else embed
+    return VQState(embed_avg=embed_avg,
+                   embed=embed, cluster_size=jnp.zeros((cfg.codebook_size,), jnp.float32),
                    initted=initted)
 
 
@@ -87,7 +93,9 @@ def kmeans_init_state(cfg: VQConfig, samples: jnp.ndarray, rng: jax.Array,
         if cfg.use_cosine_sim:
             new_means = l2norm(new_means)
         means = jnp.where(zero[:, None], means, new_means)
-    return VQState(embed=means, cluster_size=bins, initted=jnp.ones((), bool))
+    return VQState(embed=means, cluster_size=bins, initted=jnp.ones((), bool),
+                   embed_avg=(None if cfg.use_cosine_sim
+                              else means * jnp.maximum(bins, 1.0)[:, None]))
 
 
 def vq_lookup(cfg: VQConfig, state: VQState, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -156,23 +164,35 @@ def vq_forward(
             embed_normalized = jnp.where(zero[:, None], state.embed, embed_normalized)
             embed = state.embed * decay + embed_normalized * (1 - decay)
         else:
-            # (reference: quantize_lucid.py:286-298): EMA of sums + laplace
-            # smoothing.  We fold embed_avg into `embed` directly by keeping a
-            # separate avg is unnecessary at these codebook sizes; kept simple:
-            embed_avg = state.embed * decay + (embed_sum / jnp.maximum(onehot_sum, 1.0)[:, None]) * (1 - decay)
+            # (reference: quantize_lucid.py:286-298): embed_avg is an EMA of
+            # assigned-latent SUMS; the codebook is embed_avg divided by the
+            # laplace-smoothed EMA counts.  Numerator and denominator decay
+            # together, so an unused code HOLDS its position instead of
+            # shrinking toward the origin.
+            avg_prev = (state.embed_avg if state.embed_avg is not None
+                        else state.embed * jnp.maximum(
+                            state.cluster_size, 1.0)[:, None])
+            embed_avg = avg_prev * decay + embed_sum * (1 - decay)
             n = cluster_size.sum()
             smoothed = (cluster_size + cfg.eps) / (n + cfg.codebook_size * cfg.eps) * n
-            embed = embed_avg * (cluster_size / jnp.maximum(smoothed, 1e-9))[:, None]
+            embed = embed_avg / jnp.maximum(smoothed, 1e-9)[:, None]
 
         # dead-code expiry (reference: quantize_lucid.py:245-261, 370-386)
         if cfg.threshold_ema_dead_code > 0 and rng is not None:
             expired = cluster_size < cfg.threshold_ema_dead_code
             if cfg.code_replacement_policy == "batch_random":
-                # replace dead codes by random latents from the batch
-                n_flat = flat.shape[0]
+                # replace dead codes by random latents from the GLOBAL batch:
+                # with a mesh axis, sampling from the local shard would give
+                # each device different replacements and silently desync the
+                # replicated codebook (reference all-gathers,
+                # quantize_lucid.py:110-124); rng is identical across devices
+                pool = flat
+                if axis_name is not None:
+                    pool = jax.lax.all_gather(flat, axis_name)
+                    pool = pool.reshape(-1, flat.shape[-1])
                 repl_idx = jax.random.randint(rng, (cfg.codebook_size,), 0,
-                                              n_flat)
-                repl = flat[repl_idx]
+                                              pool.shape[0])
+                repl = pool[repl_idx]
             elif cfg.code_replacement_policy == "linde_buzo_gray":
                 # Linde-Buzo-Gray splitting: dead code i takes the i-th
                 # most-used code plus tiny noise (reference:
@@ -192,7 +212,9 @@ def vq_forward(
             embed = jnp.where(expired[:, None], repl, embed)
 
         new_state = VQState(embed=embed, cluster_size=cluster_size,
-                            initted=jnp.ones((), bool))
+                            initted=jnp.ones((), bool),
+                            embed_avg=(None if cfg.use_cosine_sim
+                                       else embed_avg))
 
     # straight-through
     quant = quant.astype(x.dtype)

@@ -415,6 +415,21 @@ def run_train(args):
             tok.module, tok.vq_cfg, optimizer, loss_fn=args.loss_fn,
             codebook_weight=args.codebook_weight,
             percept_loss=percept, percept_weight=args.percept_loss_weight))
+        if args.kmeans_init and not bool(np.asarray(tok.vq_state.initted)):
+            # data-dependent kmeans codebook init runs once on the host
+            # before jit (the reference does it lazily in the first forward,
+            # quantize_lucid.py:137-167); without this the codebook would
+            # train from all-zero rows
+            from egom2p_tpu.ops.vq import kmeans_init_state
+            first = (dataset[0][None] if video_domain
+                     else data[:min(len(data), 256)])
+            lat = tok.module.apply(
+                tok.params, jax.numpy.asarray(first),
+                method=type(tok.module).encode_latents)
+            tok.vq_state = kmeans_init_state(
+                tok.vq_cfg, np.asarray(lat).reshape(-1, tok.vq_cfg.dim),
+                jax.random.PRNGKey(args.seed + 1))
+            print("kmeans codebook init from first batch")
         state = init_train_state(tok.params, optimizer, tok.vq_state)
 
     start_epoch = 0
