@@ -76,6 +76,10 @@ def setup_sampling_mod_info(dataset_config: Dict, modality_info: Dict,
                     else [float(p) for p in parts])
             return vals
 
+        # NOTE parity quirk: alphas zip against the SORTED domain list, not
+        # the hyphen order the user wrote — exactly like the reference
+        # (pretrain_utils.py:34+53), whose shipped configs list domains
+        # alphabetically.  Kept for config compatibility.
         if dataset_config.get("input_alphas") is not None:
             for m, a in zip(in_domains, parse(dataset_config["input_alphas"],
                                               in_domains)):

@@ -17,6 +17,9 @@ def cosine_scheduler(base_value, final_value, epochs, niter_per_ep,
     warmup_iters = warmup_epochs * niter_per_ep
     if warmup_steps > 0:
         warmup_iters = warmup_steps
+    # short smoke runs can ask for more warmup than total steps (e.g. the
+    # token-derived default warmup with --epochs 1): clamp instead of crash
+    warmup_iters = min(warmup_iters, epochs * niter_per_ep)
     warmup = (np.linspace(start_warmup_value, base_value, warmup_iters)
               if warmup_iters > 0 else np.array([]))
     iters = np.arange(epochs * niter_per_ep - warmup_iters)
@@ -40,9 +43,11 @@ def inverse_sqrt_scheduler(base_value, final_value, epochs, niter_per_ep,
     warmup_iters = warmup_epochs * niter_per_ep
     if warmup_steps > 0:
         warmup_iters = warmup_steps
+    warmup_iters = min(warmup_iters, epochs * niter_per_ep)
     cooldown_iters = cooldown_epochs * niter_per_ep
     if cooldown_steps > 0:
         cooldown_iters = cooldown_steps
+    cooldown_iters = min(cooldown_iters, epochs * niter_per_ep - warmup_iters)
 
     warmup = (np.linspace(start_warmup_value, base_value, warmup_iters)
               if warmup_iters > 0 else np.array([]))

@@ -123,7 +123,13 @@ def _rotmat_to_angle_rad(R: np.ndarray) -> np.ndarray:
 
 def calculate_ate(pred_4x4: np.ndarray, gt_4x4: np.ndarray) -> float:
     """Umeyama-aligned absolute trajectory RMSE
-    (reference: tok_cam_example.py:89-127)."""
+    (reference: tok_cam_example.py:89-127).
+
+    NOTE parity quirk: like the reference, the Kabsch rotation is applied to
+    the UNCENTERED prediction and no translation is solved
+    (tok_cam_example.py:122-126), so a constant offset counts as error.
+    The published golden numbers (ATE 0.00587 m) were produced with exactly
+    this formula — do not "fix" it without breaking comparability."""
     pred_t = pred_4x4[:, :3, 3]
     gt_t = gt_4x4[:, :3, 3]
     pc = pred_t - pred_t.mean(axis=0)

@@ -99,10 +99,14 @@ class WordPieceTokenizer:
 
     def _normalize(self, text: str) -> str:
         if self.clean_text:
+            # \t\n\r are category Cc, so they must be mapped to spaces BEFORE
+            # the control-character filter or words merge across line breaks
+            # (HF BertNormalizer replaces them with spaces)
             text = "".join(
                 " " if ch in ("\t", "\n", "\r") else ch for ch in text
-                if ord(ch) != 0 and ord(ch) != 0xFFFD
-                and not unicodedata.category(ch).startswith("C"))
+                if ch in ("\t", "\n", "\r") or (
+                    ord(ch) != 0 and ord(ch) != 0xFFFD
+                    and not unicodedata.category(ch).startswith("C")))
         if self.handle_chinese:
             text = "".join(f" {ch} " if _is_cjk(ord(ch)) else ch
                            for ch in text)

@@ -405,6 +405,7 @@ def main(args):
                                  warmup_steps=args.warmup_steps)
     elif args.lr_schedule == "inverse_sqrt":
         sched = inverse_sqrt_scheduler(lr, min_lr, args.epochs, niter_per_ep,
+                                       warmup_epochs=max(args.warmup_epochs, 0),
                                        warmup_steps=args.warmup_steps)
     else:
         sched = constant_scheduler(lr, args.epochs, niter_per_ep)
@@ -468,9 +469,12 @@ def main(args):
         jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
 
     tokens_seen = int(np.asarray(state.step)) * tokens_per_sample * global_batch
+    eval_steps = None
+    batch = first_batch
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger(print_freq=args.print_freq)
-        batch = first_batch if epoch == start_epoch else next(loader_it)
+        # `batch` carries over from the previous epoch's prefetch overlap —
+        # fetching a fresh one here would silently drop that batch
         for it, _ in logger.log_every(range(niter_per_ep),
                                       header=f"Epoch [{epoch}]",
                                       total=niter_per_ep):
@@ -510,13 +514,18 @@ def main(args):
         if args.eval_freq and (epoch + 1) % args.eval_freq == 0 and (
                 val_factories or fixed_factories):
             from egom2p_tpu.core.distributed import all_reduce_metrics
-            from egom2p_tpu.train.egom2p_train import make_eval_step
-            eval_step = jax.jit(make_eval_step(
-                model, args.num_input_tokens, args.num_target_tokens,
-                args.loss_type))
-            fixed_eval_step = jax.jit(make_eval_step(
-                model, args.fixed_eval_input_tokens,
-                args.fixed_eval_target_tokens, args.loss_type))
+            if eval_steps is None:
+                # built once: rebuilding per epoch would recompile both
+                # eval graphs every eval epoch
+                from egom2p_tpu.train.egom2p_train import make_eval_step
+                eval_steps = (
+                    jax.jit(make_eval_step(
+                        model, args.num_input_tokens, args.num_target_tokens,
+                        args.loss_type)),
+                    jax.jit(make_eval_step(
+                        model, args.fixed_eval_input_tokens,
+                        args.fixed_eval_target_tokens, args.loss_type)))
+            eval_step, fixed_eval_step = eval_steps
 
             def run_eval(factory, step, prefix):
                 accum, n = None, 0
@@ -531,10 +540,22 @@ def main(args):
                     accum = em if accum is None else {
                         k: accum[k] + em[k] for k in em}
                     n += 1
-                if not accum:
+                # EVERY host must enter the collective, even with zero local
+                # batches (e.g. fewer val shards than hosts), or the others
+                # deadlock in the psum.  Reducing (sums, count) computes the
+                # correct globally-weighted mean.  The key set must be
+                # host-independent, so it is derived from the model, not from
+                # whatever batches this host happened to see.
+                keys = ["loss"] + [f"loss_{m}"
+                                   for m in sorted(model.out_domains)]
+                reduced = all_reduce_metrics(
+                    {**{f"{prefix}{k}": (accum or {}).get(k, 0.0)
+                        for k in keys},
+                     f"{prefix}__n": float(n)})
+                n_tot = reduced.pop(f"{prefix}__n", 0.0)
+                if n_tot <= 0:
                     return {}
-                return all_reduce_metrics(
-                    {f"{prefix}{k}": v / n for k, v in accum.items()})
+                return {k: v / n_tot for k, v in reduced.items()}
 
             stats = {}
             for name, factory in val_factories.items():
@@ -555,9 +576,13 @@ def main(args):
 
 
 def _warm_start(params, path, model):
-    """Non-strict warm start: copy shape-matching leaves from a checkpoint
-    (reference strips pos_emb and loads non-strict,
-    run_training_egom2p.py:477-489)."""
+    """Non-strict warm start: copy shape-matching leaves from a checkpoint.
+
+    The reference additionally strips pos_emb keys before its non-strict
+    load (run_training_egom2p.py:477-489) because its positional embeddings
+    are registered buffers in the state dict; here the sincos tables are
+    computed on the fly and never appear in the param tree, so shape-matching
+    alone reproduces that behavior."""
     import jax
     from egom2p_tpu.core.checkpoint import load_checkpoint
 

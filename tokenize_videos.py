@@ -75,6 +75,17 @@ def iter_clips(args):
 def decode_worker(args, clip_iter, q):
     from egom2p_tpu.data.video_ingest import read_video
 
+    try:
+        _decode_loop(args, clip_iter, q, read_video)
+    except Exception as e:
+        # an error from the shard iterator itself (e.g. a truncated tar)
+        # must still release the consumer: report it, then signal the end
+        print(f"[tokenize_videos] input stream failed: {e}")
+    finally:
+        q.put(None)
+
+
+def _decode_loop(args, clip_iter, q, read_video):
     for key, src, out_name in clip_iter:
         try:
             if isinstance(src, bytes):
@@ -97,7 +108,6 @@ def decode_worker(args, clip_iter, q):
             q.put((key, video[: args.max_frames], out_name))
         except Exception as e:  # bad clip: skip, like wds warn_and_continue
             print(f"[skip] {key}: {e}")
-    q.put(None)
 
 
 def main():
