@@ -49,6 +49,19 @@ def empty_seq_modality(d, s1_id=5):
     return d
 
 
+def empty_seq_emb_modality(d):
+    """Empty T5/CLIP-embedding conditioning for CFG: zeroed embeddings with a
+    single live (unmasked) slot — the uncond branch must still contribute one
+    conditioning token or guidance degenerates
+    (reference: generate.py:65-80)."""
+    d["tensor"][:] = 0
+    d["input_mask"][:] = True
+    d["input_mask"][:, 0] = False
+    d["target_mask"][:] = True
+    d["decoder_attention_mask"][:] = 0
+    return d
+
+
 def init_empty_target_modality(mod_dict, modality_info, domain, batch_size,
                                num_tokens):
     """(reference: generate.py:83-115)"""
@@ -76,12 +89,20 @@ def init_empty_target_modality(mod_dict, modality_info, domain, batch_size,
 
 def init_full_input_modality(mod_dict, modality_info, domain, eos_id=3):
     """(reference: generate.py:117-152)"""
-    shape = mod_dict[domain]["tensor"].shape
     d = mod_dict[domain]
+    mtype = modality_info[domain]["type"]
+    if mtype == "seq_emb":
+        # T5 embeddings ship a validity mask alongside the float tensor
+        # (reference: generate.py:146-151)
+        valid = np.asarray(d["mask_valid"], dtype=bool)
+        d["input_mask"] = ~valid
+        d["target_mask"] = np.ones_like(valid)
+        d["decoder_attention_mask"] = np.zeros(valid.shape, dtype=np.int32)
+        return mod_dict
+    shape = d["tensor"].shape
     d.setdefault("input_mask", np.zeros(shape, dtype=bool))
     d.setdefault("target_mask", np.ones(shape, dtype=bool))
     d.setdefault("decoder_attention_mask", np.zeros(shape, dtype=np.int32))
-    mtype = modality_info[domain]["type"]
     if mtype in ("img", "cam", "gaze", "keypoints"):
         d["input_mask"][:] = False
         d["target_mask"][:] = True
@@ -436,7 +457,7 @@ class GenerationSampler:
             if self.info[mod]["type"] in ("seq", "seq_token"):
                 empty_seq_modality(un[mod])
             elif self.info[mod]["type"] == "seq_emb":
-                raise NotImplementedError("seq_emb CFG not supported yet")
+                empty_seq_emb_modality(un[mod])
             else:
                 empty_img_modality(un[mod])
         return un

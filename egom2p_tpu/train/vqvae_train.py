@@ -44,12 +44,25 @@ def reconst_loss(pred, target, loss_fn: str, n_channels: int):
     raise ValueError(f"unknown loss_fn {loss_fn}")
 
 
+def _ema_update(ema_params, new_params, step, ema_decay: Optional[float],
+                ema_update_freq: int):
+    """EMA weight tracking every `ema_update_freq` optimizer steps
+    (reference ModelEma, run_training_vqvae.py:715-724, 1245-1247)."""
+    if ema_decay is None or ema_params is None:
+        return ema_params
+    do = (step % ema_update_freq) == 0
+    return jax.tree_util.tree_map(
+        lambda e, p: jnp.where(do, e * ema_decay + p * (1 - ema_decay), e),
+        ema_params, new_params)
+
+
 def make_vqvae_train_step(module, vq_cfg: VQConfig,
                           optimizer: optax.GradientTransformation,
                           loss_fn: str = "mse",
                           codebook_weight: float = 1.0,
                           axis_name: Optional[str] = None,
                           ema_decay: Optional[float] = None,
+                          ema_update_freq: int = 1,
                           percept_loss=None,
                           percept_weight: float = 0.0):
     """Build the jittable train step for any autoencoder exposing
@@ -85,11 +98,8 @@ def make_vqvae_train_step(module, vq_cfg: VQConfig,
             grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = state.ema_params
-        if ema_decay is not None and state.ema_params is not None:
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                state.ema_params, new_params)
+        new_ema = _ema_update(state.ema_params, new_params, state.step,
+                              ema_decay, ema_update_freq)
         new_state = VQVAETrainState(params=new_params, opt_state=new_opt,
                                     vq_state=new_vq, step=state.step + 1,
                                     ema_params=new_ema)
@@ -114,12 +124,15 @@ class GradVQTrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
     step: jnp.ndarray
+    ema_params: Optional[dict] = None
 
 
 def make_grad_vqvae_train_step(module, optimizer,
                                loss_fn: str = "mse",
                                codebook_weight: float = 1.0,
-                               axis_name: Optional[str] = None):
+                               axis_name: Optional[str] = None,
+                               ema_decay: Optional[float] = None,
+                               ema_update_freq: int = 1):
     """Train step for gradient-quantizer models (taming / memcodes): the
     codebook lives in `params` and learns by backprop, so there is no VQState
     (reference trains these quantizers the same way, vqvae.py:169-198)."""
@@ -145,6 +158,9 @@ def make_grad_vqvae_train_step(module, optimizer,
                              length=module.codebook_size) > 0
         metrics = {"loss": loss, "reconst_loss": rec, "code_loss": qloss,
                    "codebook_usage": jnp.mean(usage.astype(jnp.float32))}
-        return GradVQTrainState(new_params, new_opt, state.step + 1), metrics
+        new_ema = _ema_update(state.ema_params, new_params, state.step,
+                              ema_decay, ema_update_freq)
+        return GradVQTrainState(new_params, new_opt, state.step + 1,
+                                new_ema), metrics
 
     return train_step

@@ -82,7 +82,19 @@ def get_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--save_ckpt_freq", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--eval_freq", type=int, default=1)
+    # Evaluation (reference: run_training_vqvae.py:778-806 --eval_only,
+    # :1296-1419 in-training eval launcher)
+    p.add_argument("--eval_freq", type=int, default=1,
+                   help="run the loss eval + metric suite every N epochs")
+    p.add_argument("--eval_only", action="store_true",
+                   help="evaluate --resume checkpoint and exit")
+    p.add_argument("--num_eval_metrics_samples", type=int, default=256,
+                   help="cap on eval samples for the metric suite")
+    p.add_argument("--no_inception", type=str2bool, default=False)
+    # ModelEma (reference: run_training_vqvae.py:230-233, 715-724)
+    p.add_argument("--model_ema", type=str2bool, default=False)
+    p.add_argument("--model_ema_decay", type=float, default=0.9999)
+    p.add_argument("--model_ema_update_freq", type=int, default=1)
     # Data
     p.add_argument("--domain", default="cam",
                    choices=["cam", "gaze", "rgb", "depth"])
@@ -106,10 +118,8 @@ def get_args(argv=None):
     p.add_argument("--wandb_run_name", default="auto")
     p.add_argument("--print_freq", type=int, default=20)
     # accepted-but-unused reference keys
-    for k in ("model_ema", "model_ema_decay", "model_ema_update_freq",
-              "find_unused_params", "init_weights", "step_eval", "epoch_eval",
-              "eval_metrics_freq", "eval_image_log_freq",
-              "num_eval_metrics_samples", "num_logged_images",
+    for k in ("find_unused_params", "init_weights", "step_eval", "epoch_eval",
+              "eval_metrics_freq", "eval_image_log_freq", "num_logged_images",
               "input_size_eval", "imagenet_default_mean_and_std",
               "min_crop_scale", "dtype_percept"):
         p.add_argument(f"--{k}", default=None)
@@ -210,9 +220,8 @@ def load_tokenizer_state(tok, path, domain):
     tok.params = state["params"]
     if "vq_state" in state and hasattr(tok, "vq_state"):
         vq = state["vq_state"]
-        tok.vq_state = VQState(embed=jnp.asarray(vq["embed"]),
-                               cluster_size=jnp.asarray(vq["cluster_size"]),
-                               initted=jnp.asarray(vq["initted"]))
+        tok.vq_state = VQState(**{k: jnp.asarray(v) for k, v in vq.items()
+                                  if v is not None})
     return tok
 
 
@@ -337,6 +346,75 @@ def eval_image_log(args, tok, state, epoch, dataset):
     return paths
 
 
+def load_seq_data(args, path: str) -> np.ndarray:
+    """Load + canonicalize + normalize a cam/gaze training npy
+    (reference: cam_traj_dataset.py:156-182)."""
+    from egom2p_tpu.data.cam_gaze import canonicalize_cam, normalize_cam
+    data = np.load(path)
+    if hasattr(data, "files"):
+        data = data[data.files[0]]
+    if args.domain == "cam" and data.ndim == 4:
+        data = np.stack([canonicalize_cam(d) for d in data])
+    if args.domain == "cam":
+        data = normalize_cam(data)
+    return data.astype(np.float32)
+
+
+def build_eval_data(args, fallback=None):
+    """Eval dataset from --eval_data_path; falls back to the training data
+    when absent (the reference requires a separate eval set; training-set
+    eval is still a meaningful reconstruction/codebook health check)."""
+    if not args.eval_data_path:
+        return fallback
+    if args.domain in VIDEO_DOMAINS:
+        from egom2p_tpu.data.video_dataset import VideoClipDataset
+        return VideoClipDataset(
+            args.eval_data_path, mode="val", clip_len=args.num_frames,
+            crop_size=args.input_size,
+            frame_sample_rate=args.frame_sample_rate, domain=args.domain,
+            use_npy=args.use_npy)
+    return load_seq_data(args, args.eval_data_path)
+
+
+def _state_payload(state) -> dict:
+    """Checkpoint payload: full train state with the optimizer tree stored as
+    flat leaves (topology-free; rebuilt against the live treedef on resume)."""
+    import jax
+    payload = {"params": state.params, "step": state.step,
+               "opt_leaves": {f"l{i}": x for i, x in enumerate(
+                   jax.tree_util.tree_leaves(state.opt_state))}}
+    if hasattr(state, "vq_state"):
+        payload["vq_state"] = state.vq_state._asdict()
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
+    return payload
+
+
+def _restore_state(state, loaded: dict):
+    """Merge a restored payload into a fresh train state (old checkpoints may
+    carry only params+vq_state; missing fields keep their fresh values)."""
+    import jax
+    import jax.numpy as jnp
+    from egom2p_tpu.ops.vq import VQState
+
+    updates = {"params": loaded["params"]}
+    if "step" in loaded:
+        updates["step"] = jnp.asarray(loaded["step"])
+    if "opt_leaves" in loaded:
+        tdef = jax.tree_util.tree_structure(state.opt_state)
+        leaves = [loaded["opt_leaves"][f"l{i}"]
+                  for i in range(len(loaded["opt_leaves"]))]
+        updates["opt_state"] = jax.tree_util.tree_unflatten(tdef, leaves)
+    if "vq_state" in loaded and hasattr(state, "vq_state"):
+        vq = loaded["vq_state"]
+        updates["vq_state"] = VQState(**{k: jnp.asarray(v)
+                                         for k, v in vq.items()
+                                         if v is not None})
+    if "ema_params" in loaded:
+        updates["ema_params"] = loaded["ema_params"]
+    return state._replace(**updates)
+
+
 def run_train(args):
     import jax
     import optax
@@ -345,7 +423,6 @@ def run_train(args):
     from egom2p_tpu.core.logging import JsonlLogger, MetricLogger
     from egom2p_tpu.core.mesh import make_mesh, num_data_shards
     from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler
-    from egom2p_tpu.data.cam_gaze import canonicalize_cam, normalize_cam
     from egom2p_tpu.train.vqvae_train import (init_train_state,
                                               make_vqvae_train_step)
 
@@ -367,14 +444,7 @@ def run_train(args):
         n_samples = len(dataset)
         print(f"train videos: {n_samples}")
     else:
-        data = np.load(args.data_path)
-        if hasattr(data, "files"):
-            data = data[data.files[0]]
-        if args.domain == "cam" and data.ndim == 4:
-            data = np.stack([canonicalize_cam(d) for d in data])
-        if args.domain == "cam":
-            data = normalize_cam(data)
-        data = data.astype(np.float32)
+        data = load_seq_data(args, args.data_path)
         n_samples = len(data)
         print(f"train samples: {data.shape}")
 
@@ -402,18 +472,26 @@ def run_train(args):
         from egom2p_tpu.core.image_metrics import make_perceptual_loss
         percept = make_perceptual_loss(args.percept_loss_type)
     grad_vq = args.quantizer_type in GRAD_QUANTIZERS
+    ema_decay = args.model_ema_decay if args.model_ema else None
+    if args.model_ema:
+        print(f"Using EMA with decay = {args.model_ema_decay:.8f}")
     if grad_vq:
         from egom2p_tpu.train.vqvae_train import (GradVQTrainState,
                                                   make_grad_vqvae_train_step)
         step_fn = jax.jit(make_grad_vqvae_train_step(
             tok.module, optimizer, loss_fn=args.loss_fn,
-            codebook_weight=args.codebook_weight))
-        state = GradVQTrainState(tok.params, optimizer.init(tok.params),
-                                 jax.numpy.zeros((), jax.numpy.int32))
+            codebook_weight=args.codebook_weight, ema_decay=ema_decay,
+            ema_update_freq=args.model_ema_update_freq))
+        state = GradVQTrainState(
+            tok.params, optimizer.init(tok.params),
+            jax.numpy.zeros((), jax.numpy.int32),
+            ema_params=(jax.tree_util.tree_map(jax.numpy.array, tok.params)
+                        if args.model_ema else None))
     else:
         step_fn = jax.jit(make_vqvae_train_step(
             tok.module, tok.vq_cfg, optimizer, loss_fn=args.loss_fn,
-            codebook_weight=args.codebook_weight,
+            codebook_weight=args.codebook_weight, ema_decay=ema_decay,
+            ema_update_freq=args.model_ema_update_freq,
             percept_loss=percept, percept_weight=args.percept_loss_weight))
         if args.kmeans_init and not bool(np.asarray(tok.vq_state.initted)):
             # data-dependent kmeans codebook init runs once on the host
@@ -430,13 +508,14 @@ def run_train(args):
                 tok.vq_cfg, np.asarray(lat).reshape(-1, tok.vq_cfg.dim),
                 jax.random.PRNGKey(args.seed + 1))
             print("kmeans codebook init from first batch")
-        state = init_train_state(tok.params, optimizer, tok.vq_state)
+        state = init_train_state(tok.params, optimizer, tok.vq_state,
+                                 use_ema=args.model_ema)
 
     start_epoch = 0
     if args.auto_resume and not args.resume:
-        restored, path = auto_load_model(args.output_dir, state)
-        if restored is not None:
-            state = restored
+        loaded, path = auto_load_model(args.output_dir)
+        if loaded is not None:
+            state = _restore_state(state, loaded)
             start_epoch = int(np.asarray(state.step)) // niter_per_ep
             print(f"resumed from {path} at epoch {start_epoch}")
 
@@ -458,14 +537,26 @@ def run_train(args):
             key, k = jax.random.split(key)
             state, metrics = step_fn(state, batch, k)
             logger.update(**{m: float(v) for m, v in metrics.items()})
-        jsonl.write({"epoch": epoch,
-                     **{k: v.global_avg for k, v in logger.meters.items()}})
+        epoch_stats = {"epoch": epoch,
+                       **{k: v.global_avg for k, v in logger.meters.items()}}
+        if args.eval_freq and (epoch + 1) % args.eval_freq == 0:
+            from egom2p_tpu.train.vqvae_eval import run_eval_suite
+            eval_data = build_eval_data(
+                args, fallback=dataset if video_domain else data)
+            eval_stats = run_eval_suite(
+                tok, state, eval_data, args.domain, args.codebook_size,
+                args.loss_fn, args.codebook_weight, args.batch_size,
+                limit=args.num_eval_metrics_samples, mesh=mesh,
+                no_inception=args.no_inception)
+            print(f"[Eval] epoch {epoch}: "
+                  + "  ".join(f"{k}={v:.6g}" for k, v in eval_stats.items()))
+            epoch_stats.update({f"eval_{k}" if not k.startswith(("eval_",
+                                                                 "ema_"))
+                                else k: v for k, v in eval_stats.items()})
+        jsonl.write(epoch_stats)
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch == args.epochs - 1:
             tag = epoch if epoch != args.epochs - 1 else "final"
-            payload = {"params": state.params}
-            if not grad_vq:
-                payload["vq_state"] = state.vq_state._asdict()
-            save_checkpoint(args.output_dir, tag, payload)
+            save_checkpoint(args.output_dir, tag, _state_payload(state))
         if video_domain and (
                 epoch == args.epochs - 1
                 or (args.image_log_freq
@@ -474,9 +565,62 @@ def run_train(args):
     return state
 
 
+def run_eval_only(args):
+    """Evaluate a checkpoint and exit (reference: run_training_vqvae.py:778-806
+    runs eval_metrics + eval_image_log for each eval size, then exit(0))."""
+    import json
+
+    import jax
+    from egom2p_tpu.train.vqvae_eval import _EvalView, eval_metrics, \
+        evaluate_loss
+
+    tok = build_tokenizer(args, jax.random.PRNGKey(args.seed))
+    if args.resume:
+        tok = load_tokenizer_state(tok, args.resume, args.domain)
+    else:
+        from egom2p_tpu.core.checkpoint import latest_checkpoint
+        path = latest_checkpoint(args.output_dir)
+        assert path, "--eval_only needs --resume or checkpoints in output_dir"
+        tok = load_tokenizer_state(tok, path, args.domain)
+
+    eval_path = args.eval_data_path or args.data_path or args.tokenize_path
+    assert eval_path, "--eval_only needs --eval_data_path (or --data_path)"
+    if args.domain in VIDEO_DOMAINS:
+        from egom2p_tpu.data.video_dataset import VideoClipDataset
+        eval_data = VideoClipDataset(
+            eval_path, mode="val", clip_len=args.num_frames,
+            crop_size=args.input_size,
+            frame_sample_rate=args.frame_sample_rate, domain=args.domain,
+            use_npy=args.use_npy)
+    else:
+        eval_data = load_seq_data(args, eval_path)
+
+    view = _EvalView(tok, tok.params, getattr(tok, "vq_state", None))
+    results = dict(evaluate_loss(
+        view, eval_data, args.loss_fn, args.codebook_weight, args.batch_size,
+        tok.module.n_channels, limit=args.num_eval_metrics_samples))
+    results.update(eval_metrics(
+        view, eval_data, args.domain, args.codebook_size, args.batch_size,
+        limit=args.num_eval_metrics_samples, no_inception=args.no_inception))
+    print("[Eval only] " + "  ".join(f"{k}={v:.6g}"
+                                     for k, v in results.items()))
+    if args.domain in VIDEO_DOMAINS and len(eval_data):
+        # gt/recon clip dump alongside the metrics (reference :800-805)
+        shim = argparse.Namespace(params=tok.params)
+        eval_image_log(args, tok, shim, "eval", eval_data)
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, "eval_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"saved {out}")
+    return results
+
+
 if __name__ == "__main__":
     args = get_args()
-    if args.tokenize:
+    if args.eval_only:
+        run_eval_only(args)
+    elif args.tokenize:
         run_tokenize(args)
     else:
         run_train(args)
