@@ -85,6 +85,7 @@ def test_shared_params_mask():
     assert any("mod_emb" in str(p) or "embeddings" in str(p) for p in unfrozen)
 
 
+@pytest.mark.slow
 def test_fm_from_pretrained_orbax(tmp_path):
     """FM hub wrapper (reference: egom2p_model.py:826-880): config.json +
     orbax checkpoint dir -> bound, callable model."""

@@ -12,10 +12,12 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_import_call_self_provisions():
     """Simulate the driver: fresh interpreter, NO forced device count, import
     and call dryrun_multichip(8).  Must exit 0 and print the mesh line."""
@@ -30,9 +32,14 @@ def test_dryrun_multichip_import_call_self_provisions():
             "from __graft_entry__ import dryrun_multichip\n"
             "dryrun_multichip(8)\n")
     proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
-                          capture_output=True, text=True, timeout=900)
+                          capture_output=True, text=True, timeout=2400)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8)" in proc.stdout
+    # flagship-shape AOT sharding validation (round-2 VERDICT item 6): the
+    # gate must compile the base model at 2048/2048 under DP and FSDP and
+    # print the per-device memory estimate
+    assert "flagship_aot(8dev,dp): compiled ok" in proc.stdout, proc.stdout
+    assert "flagship_aot(8dev,fsdp): compiled ok" in proc.stdout
 
 
 def test_str2bool_flags_parse_false():

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _CHECK = r"""
 import numpy as np
 import jax, jax.numpy as jnp

@@ -66,6 +66,7 @@ def sampler_setup():
 
 @pytest.mark.parametrize("scheme,cfg", [("roar", 1.0), ("roar", 2.0),
                                         ("maskgit", 1.0), ("maskgit", 2.0)])
+@pytest.mark.slow
 def test_generate_fills_target(sampler_setup, scheme, cfg):
     model, params, mod_dict = sampler_setup
     L = MODALITY_INFO["tok_depth"]["max_tokens"]

@@ -71,6 +71,7 @@ def test_seq_generation_with_device_resident_conditioning(seq_setup):
     assert (~out["caption"]["input_mask"]).sum() >= 1
 
 
+@pytest.mark.slow
 def test_lora_roundtrip():
     from egom2p_tpu.models.lora import (init_lora_params, lora_train_step_fn,
                                         merge_lora)
@@ -219,6 +220,7 @@ def test_empty_seq_emb_matches_reference_semantics():
                                   ref["decoder_attention_mask"].numpy())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["roar", "maskgit"])
 def test_seq_emb_cfg_generation(seq_emb_setup, scheme):
     """Guided generation with seq_emb conditioning runs the stacked

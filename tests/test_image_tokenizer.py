@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from egom2p_tpu.tokenizers.cosmos.image_api import (ImageTokenizer,
                                                     pad_image_batch,
                                                     unpad_image_batch)

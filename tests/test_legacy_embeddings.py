@@ -40,6 +40,7 @@ def test_sequence_emb_mask_span():
     assert 0 < n_in <= 32
 
 
+@pytest.mark.slow
 def test_legacy_mod_dict_through_model():
     """rgb@224 raw pixels + t5_caption embeddings as inputs, tok_cam as the
     target: init + forward loss on the full EgoM2P module."""

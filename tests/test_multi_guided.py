@@ -71,6 +71,7 @@ def test_generate_iter_steps(setup):
     assert seen == 3
 
 
+@pytest.mark.slow
 def test_vqvae_ema():
     import optax
     from egom2p_tpu.tokenizers.seq_vqvae import seq_vqvae_from_config

@@ -122,6 +122,7 @@ def test_linde_buzo_gray_replacement():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vqvae_cli_taming_and_memcodes(tmp_path):
     """--quantizer_type taming|memcodes trains end-to-end on cam data."""
     import sys
@@ -153,6 +154,7 @@ def test_vqvae_cli_taming_and_memcodes(tmp_path):
         assert toks[toks.files[0]].size > 0
 
 
+@pytest.mark.slow
 def test_vqvae_cli_lbg_policy(tmp_path):
     """--code_replacement_policy linde_buzo_gray works through the lucid path."""
     import run_training_vqvae as cli

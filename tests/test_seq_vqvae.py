@@ -56,6 +56,7 @@ def test_gaze_convert_golden():
     assert np.allclose(ours, conv_ref[valid], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cam_tokenizer_shapes():
     tok = seq_vqvae_from_config("cam", jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 60, 9)),
@@ -69,6 +70,7 @@ def test_cam_tokenizer_shapes():
     assert np.allclose(np.asarray(rec), np.asarray(rec2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gaze_tokenizer_shapes():
     tok = seq_vqvae_from_config("gaze", jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 60, 3)),
@@ -79,6 +81,7 @@ def test_gaze_tokenizer_shapes():
     assert rec.shape == (2, 60, 2)
 
 
+@pytest.mark.slow
 def test_cam_vqvae_short_training_improves():
     """A few steps on a fixed batch must reduce reconstruction loss and keep
     the EMA codebook healthy (the end-to-end slice of Phase 1)."""

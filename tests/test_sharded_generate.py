@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from egom2p_tpu.core.mesh import make_mesh

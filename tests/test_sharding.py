@@ -5,6 +5,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from egom2p_tpu.core.mesh import MeshConfig, make_mesh, num_data_shards
 from egom2p_tpu.core.optim import create_optimizer
 from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler

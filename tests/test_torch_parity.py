@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 # --- make the reference importable (APPEND so the reference's root-level
 # run_training_*.py never shadow this repo's) ---------------------------------
 sys.path.append("/root/reference")

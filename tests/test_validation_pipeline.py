@@ -79,6 +79,7 @@ def test_fixed_eval_batches_identical_across_epochs(tmp_path):
     assert total_in.max() == args.fixed_eval_input_tokens
 
 
+@pytest.mark.slow
 def test_training_logs_heldout_val_metrics(tmp_path):
     """One tiny epoch end-to-end: log.jsonl must contain val_* and
     fixed_eval_* entries sourced from the held-out loaders."""

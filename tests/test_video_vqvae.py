@@ -17,6 +17,7 @@ def tiny_tok():
     return video_vqvae_from_config("rgb", jax.random.PRNGKey(0), **TINY)
 
 
+@pytest.mark.slow
 def test_video_vqvae_shapes(tiny_tok):
     x = jnp.asarray(np.random.default_rng(0)
                     .uniform(-1, 1, (2, 4, 32, 32, 3)).astype(np.float32))
@@ -37,6 +38,7 @@ def test_video_vqvae_depth_single_channel():
     assert tok.autoencode(x).shape == x.shape
 
 
+@pytest.mark.slow
 def test_video_training_loss_falls(tiny_tok):
     """A few steps on a fixed batch must reduce the reconstruction loss
     (the VERDICT 'done' criterion for the video VQ-VAE trainer)."""
@@ -106,6 +108,7 @@ def test_video_augmentations():
     assert random_scaling(v, rng).shape == v.shape
 
 
+@pytest.mark.slow
 def test_vqvae_cli_video_train_and_tokenize(tmp_path):
     """Drive run_training_vqvae.py --domain rgb end-to-end on tiny npy clips:
     train 2 epochs, write checkpoints + image logs, then tokenize."""

@@ -42,6 +42,7 @@ def trained(tmp_path_factory):
     return cli, tmp_path, out, argv, state
 
 
+@pytest.mark.slow
 def test_eval_metrics_logged_every_epoch(trained):
     _, _, out, _, _ = trained
     lines = [json.loads(l) for l in open(out / "log.txt")]
@@ -54,6 +55,7 @@ def test_eval_metrics_logged_every_epoch(trained):
             assert np.isfinite(rec[key]), (key, rec[key])
 
 
+@pytest.mark.slow
 def test_ema_params_differ_from_live(trained):
     _, _, _, _, state = trained
     assert state.ema_params is not None
@@ -63,6 +65,7 @@ def test_ema_params_differ_from_live(trained):
     assert max(jax.tree_util.tree_leaves(diffs)) > 1e-6
 
 
+@pytest.mark.slow
 def test_state_payload_roundtrip(trained, tmp_path):
     """Full train state (params, opt, step, vq_state, EMA) round-trips
     through the checkpoint payload."""
@@ -90,6 +93,7 @@ def test_state_payload_roundtrip(trained, tmp_path):
                                np.asarray(state.vq_state.embed))
 
 
+@pytest.mark.slow
 def test_resume_restores_ema_and_continues(trained, capsys):
     """Re-running with more epochs resumes from the checkpoint: start epoch
     advances and EMA params carry over (VERDICT item 3 'done' criterion)."""
@@ -102,6 +106,7 @@ def test_resume_restores_ema_and_continues(trained, capsys):
     assert state2.ema_params is not None
 
 
+@pytest.mark.slow
 def test_eval_only_writes_results(trained):
     cli, tmp_path, out, _, _ = trained
     ckpts = sorted(p for p in os.listdir(out) if p.startswith("checkpoint"))
