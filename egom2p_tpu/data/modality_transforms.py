@@ -11,9 +11,9 @@ TPU-idiomatic differences: images flow as numpy HWC arrays end to end
 (channels-last matches the device layout, so the host never transposes), and
 outputs are plain numpy (float32/int64/bool) ready for `jnp.asarray`.
 
-Not ported: the SAM-instance / human-pose / color-palette transforms of
-dormant 4M modalities (they require external instance data and models absent
-from this environment) — constructing one raises with that explanation.
+The SAM-instance / human-pose / color-palette transforms of the dormant 4M
+modalities are implemented too (they are pure data processing; the external
+models are only needed upstream to *produce* their npy/json files).
 """
 from __future__ import annotations
 
@@ -669,24 +669,302 @@ class MetadataTransform(AbstractTransform):
         return " ".join(items)
 
 
-def _not_ported(name, ref):
-    class _NotPorted(AbstractTransform):
-        def __init__(self, *a, **k):
-            raise NotImplementedError(
-                f"{name} serves a dormant 4M modality needing external "
-                f"instance data/models absent here (reference: {ref}).")
-    _NotPorted.__name__ = name
-    return _NotPorted
+def _clip_polygon(points: np.ndarray, rect) -> Optional[np.ndarray]:
+    """Sutherland–Hodgman clip of an (N, 2) xy polygon against an axis-aligned
+    rectangle (x0, y0, x1, y1).  Returns the clipped (M, 2) polygon or None.
+
+    The reference reaches the same intersection polygon by inserting
+    border-crossing points, clamping, and dropping points that left the
+    original contour (reference: modality_transforms.py:403-484); SH is the
+    standard exact algorithm for a convex clip region."""
+    x0, y0, x1, y1 = rect
+    # (axis, bound, keep-side sign): inside test is sign*(p[axis]-bound) <= 0
+    edges = ((0, x0, -1), (1, y0, -1), (0, x1, 1), (1, y1, 1))
+    poly = [p.astype(np.float64) for p in points.reshape(-1, 2)]
+    for axis, bound, sign in edges:
+        if not poly:
+            return None
+        out = []
+        prev = poly[-1]
+        prev_in = sign * (prev[axis] - bound) <= 0
+        for cur in poly:
+            cur_in = sign * (cur[axis] - bound) <= 0
+            if cur_in != prev_in:  # edge crosses the boundary
+                t = (bound - prev[axis]) / (cur[axis] - prev[axis])
+                out.append(prev + t * (cur - prev))
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+        poly = out
+    if len(poly) < 3:
+        return None
+    return np.stack(poly)
 
 
-SAMInstanceTransform = _not_ported(
-    "SAMInstanceTransform", "modality_transforms.py:388-571")
-SAMInstanceTokTransform = _not_ported(
-    "SAMInstanceTokTransform", "modality_transforms.py (tok variant)")
-HumanPoseTransform = _not_ported(
-    "HumanPoseTransform", "modality_transforms.py (pose)")
-ColorPaletteTransform = _not_ported(
-    "ColorPaletteTransform", "modality_transforms.py (palette)")
+class SAMInstanceTransform(AbstractTransform):
+    """SAM instance polygons -> fixed-count binary masks + bboxes + validity
+    (reference: modality_transforms.py:388-571).  Input files are npy object
+    arrays of dicts with a 'points' (N, 1, 2) xy contour."""
+
+    def __init__(self, mask_size: int = 64, max_instance_n: int = 20,
+                 bbox_area_threshold: float = 0.0005):
+        self.mask_size = mask_size
+        self.max_instance_n = max_instance_n
+        self.bbox_area_threshold = bbox_area_threshold
+
+    def load(self, path):
+        return np.load(path, allow_pickle=True)
+
+    def preprocess(self, sample):
+        n = len(sample)
+        if self.max_instance_n is not None and n > self.max_instance_n:
+            keep = set(np.random.choice(n, self.max_instance_n, replace=False))
+        else:
+            keep = set(range(n))
+        return [np.asarray(p["points"], dtype=np.float64).reshape(-1, 2)
+                for i, p in enumerate(sample) if i in keep]
+
+    def image_augment(self, sample, crop_coords: Tuple, flip: bool,
+                      orig_size: Tuple, target_size: Tuple,
+                      rand_aug_idx: Optional[int] = None,
+                      resample_mode: str = None):
+        top, left, h, w = crop_coords
+        th, tw = _to_2tuple(target_size)
+        out = []
+        for inst in sample:
+            clipped = _clip_polygon(inst, (left, top, left + w, top + h))
+            if clipped is None:
+                continue
+            # shift into crop frame, then scale to the target resolution
+            clipped = clipped - np.array([left, top], dtype=np.float64)
+            clipped = np.round(clipped * np.array([tw / w, th / h]))
+            x0, y0 = clipped.min(axis=0)
+            x1, y1 = clipped.max(axis=0)
+            if (y1 - y0) * (x1 - x0) < self.bbox_area_threshold * th * tw:
+                continue  # reference drops tiny instances (:498-508)
+            if flip:
+                clipped[:, 0] = tw - clipped[:, 0]
+            out.append(clipped)
+        return out
+
+    def postprocess(self, sample):
+        import cv2
+
+        n = self.max_instance_n if self.max_instance_n is not None \
+            else len(sample)
+        masks = np.zeros((n, self.mask_size, self.mask_size), np.float32)
+        bboxes = np.zeros((n, 4), np.float32)
+        valid = np.zeros(n, dtype=bool)
+        for i, inst in enumerate(sample[:n]):
+            x0, y0 = inst.min(axis=0)
+            x1, y1 = inst.max(axis=0)
+            # normalize the contour into the mask grid and rasterize
+            span = np.array([max(x1 - x0, 1e-9), max(y1 - y0, 1e-9)])
+            grid = (inst - np.array([x0, y0])) / span * self.mask_size
+            m = np.zeros((self.mask_size, self.mask_size), np.uint8)
+            cv2.fillPoly(m, [grid.astype(np.int32)], 1)
+            masks[i] = m
+            bboxes[i] = (y0, x0, y1, x1)  # reference order: min_h, min_w,
+            valid[i] = True               # max_h, max_w (:395-400)
+        return {"instance": masks, "bbox": bboxes, "valid": valid}
+
+
+def _bbox_crop(bbox, x_min, y_min, x_max, y_max, rows, cols):
+    """Re-normalize an (x0, y0, x1, y1) [0,1] bbox from a full image of size
+    (rows, cols) into a pixel crop window (the albumentations `bbox_crop`
+    the reference calls, modality_transforms.py:1057)."""
+    b = np.asarray(bbox, dtype=np.float64).copy()
+    b[0::2] = (b[0::2] * cols - x_min) / max(x_max - x_min, 1e-9)
+    b[1::2] = (b[1::2] * rows - y_min) / max(y_max - y_min, 1e-9)
+    return b
+
+
+class HumanPoseTransform(AbstractTransform):
+    """SMPL human-pose instances -> binned token string
+    (reference: modality_transforms.py:1016-1178)."""
+
+    def __init__(self, coord_bins: int = 1000, only_pose: bool = False,
+                 return_raw: bool = False):
+        self.coord_bins = coord_bins
+        self.only_pose = only_pose
+        self.return_raw = return_raw
+
+    def load(self, path):
+        with open(path) as f:
+            return json.load(f)
+
+    def preprocess(self, sample):
+        if self.only_pose:  # tokenizer-training path: raw 207-D body pose
+            if len(sample) == 0:
+                return np.zeros(207, np.float32)
+            return np.asarray(sample["pred_smpl_params"]["body_pose"][0],
+                              np.float32).flatten()
+        if len(sample) == 0:
+            return "none"
+        smpl = sample["pred_smpl_params"]
+        out = []
+        for i in range(len(sample["bbox_xyxy"])):
+            out.append(
+                ["human"] + list(np.asarray(sample["bbox_xyxy"][i],
+                                            np.float64).flatten())
+                + ["global"] + list(np.asarray(smpl["global_orient"][i],
+                                               np.float64).flatten())
+                + ["pose"] + list(np.asarray(sample["pose_tokenized"][i],
+                                             np.float64).flatten())
+                + ["shape"] + list(np.asarray(smpl["betas"][i],
+                                              np.float64).flatten())
+                + ["camera"] + list(np.asarray(sample["pred_cam"][i],
+                                               np.float64).flatten()))
+        return out
+
+    def image_augment(self, poses, crop_coords: Tuple, flip: bool,
+                      orig_size: Tuple, target_size: Tuple,
+                      rand_aug_idx=None, resample_mode: str = None):
+        if poses == "none" or self.only_pose:
+            return poses
+        oh, ow = orig_size
+        top, left, h, w = crop_coords
+        kept = []
+        for inst in poses:
+            bbox = _bbox_crop(np.asarray(inst[1:5]) / [ow, oh, ow, oh],
+                              left, top, left + w, top + h, oh, ow)
+            if (bbox[1::2] < 0).all() or (bbox[0::2] < 0).all():
+                continue
+            if (bbox[1::2] > 1).all() or (bbox[0::2] > 1).all():
+                continue
+            inst[1:5] = np.clip(bbox, 0.0, 1.0)
+            kept.append(inst)
+        return kept if kept else "none"
+
+    def postprocess(self, poses):
+        if poses == "none" or self.only_pose:
+            return poses if not self.return_raw else []
+        if self.return_raw:
+            return poses
+        return self._to_string(poses)
+
+    def _to_string(self, all_poses) -> str:
+        """Value binning per the reference (:1092-1152): bbox -> coord bins,
+        global orient/shape scaled+offset, pose tokens split at 512, camera
+        clipped to [-1, 19]; the four groups after the bbox are shuffled."""
+        bins = self.coord_bins
+        result = ""
+        for inst in all_poses:
+            bbox = [f"v{i}={round(float(inst[1 + i]) * (bins - 1))}"
+                    for i in range(4)]
+            glob = [f"v0={round(float(v) * 499.5 + 499.5)}"
+                    for v in inst[6:15]]
+            pose = [f"v0={round(float(v))}" if float(v) < 512
+                    else f"v1={round(float(v) - 512)}" for v in inst[16:24]]
+            shape = [f"v0={round(float(v) * 166.5 + 499.5)}"
+                     for v in inst[25:35]]
+            cam = [f"v0={round(np.clip(float(v), -1.0, 19.0) * 49.95 + 49.95)}"
+                   for v in inst[36:]]
+            groups = [[inst[15]] + pose, [inst[5]] + glob,
+                      [inst[35]] + cam, [inst[24]] + shape]
+            random.shuffle(groups)
+            parts = [inst[0]] + bbox + sum(groups, [])
+            result += " ".join(parts) + " "
+        return result
+
+
+class ColorPaletteTransform(AbstractTransform):
+    """Color palettes -> binned token string
+    (reference: modality_transforms.py:1181-1235)."""
+
+    def __init__(self, coord_bins: int = 1000, return_raw: bool = False):
+        self.coord_bins = coord_bins
+        self.return_raw = return_raw
+
+    def load(self, path):
+        with open(path) as f:
+            return json.load(f)
+
+    def preprocess(self, sample):
+        if self.return_raw:
+            return sample
+        length = random.randint(1, 7)  # random palette size per sample
+        return list(np.asarray(sample[0][str(length)], np.float64).flatten())
+
+    def image_augment(self, palettes, crop_coords: Tuple, flip: bool,
+                      orig_size: Tuple, target_size: Tuple,
+                      rand_aug_idx=None, resample_mode: str = None):
+        return palettes  # palettes are crop/flip-invariant
+
+    def postprocess(self, palettes):
+        if self.return_raw:
+            return palettes
+        colors = [f"v1={round(len(palettes) / 3)}"]
+        colors += [f"v0={round(float(v))}" for v in palettes]
+        return " ".join(colors)
+
+
+class SAMInstanceTokTransform(AbstractTransform):
+    """Pre-tokenized SAM instances -> query-point-conditioned token string
+    (reference: modality_transforms.py:1238-1341)."""
+
+    def __init__(self, image_size=224, points_per_side=7,
+                 point_order: str = "random"):
+        self.H, self.W = _to_2tuple(image_size)
+        self.points_per_h, self.points_per_w = _to_2tuple(points_per_side)
+        if point_order not in ("random", "grid"):
+            raise ValueError(f"unsupported point order {point_order}")
+        self.point_order = point_order
+        self._grid_points = None
+
+    def _query_points(self) -> np.ndarray:
+        if self.point_order == "grid":
+            if self._grid_points is None:
+                ys = np.linspace(0, self.H, self.points_per_h + 2)[1:-1]
+                xs = np.linspace(0, self.W, self.points_per_w + 2)[1:-1]
+                gy, gx = np.meshgrid(ys, xs)
+                self._grid_points = np.stack(
+                    (gx, gy), axis=2).astype(np.int32).reshape(-1, 2)
+            return self._grid_points
+        ys = np.random.randint(0, self.H, self.points_per_h)
+        xs = np.random.randint(0, self.W, self.points_per_w)
+        return np.stack((xs, ys), axis=1)
+
+    def load(self, path):
+        return np.load(path, allow_pickle=True)
+
+    def preprocess(self, sample):
+        for s in sample:
+            s["token_ids"] = np.asarray(s["token_ids"], np.int32)
+        return sample
+
+    def image_augment(self, v, crop_coords: Tuple, flip: bool,
+                      orig_size: Tuple, target_size: Tuple,
+                      rand_aug_idx: Optional[int], resample_mode: str = None):
+        if rand_aug_idx is None:
+            raise ValueError("Crop settings are provided but not used by "
+                             "this pre-tokenized modality")
+        return v[rand_aug_idx]
+
+    def postprocess(self, sample):
+        import cv2
+
+        points = [tuple(int(c) for c in p) for p in self._query_points()]
+        random.shuffle(points)
+        parts: List[str] = []
+        for point in points:
+            parts += ["point", f"v0={point[1]}", f"v1={point[0]}"]
+            hits = []
+            for inst in sample:
+                coords = np.asarray(inst["points"][0], np.float32)
+                if cv2.pointPolygonTest(coords, point, measureDist=False) >= 0:
+                    hits.append((inst["token_ids"], inst["bbox"]))
+            if not hits:
+                parts.append("none")
+                continue
+            random.shuffle(hits)
+            for tok, bbox in hits:
+                ymin, xmin, ymax, xmax = np.asarray(bbox).astype(np.int32)
+                parts += ["polygon", f"v0={xmin}", f"v1={ymin}",
+                          f"v2={xmax}", f"v3={ymax}"]
+                parts += [f"v0={t}" if t < 512 else f"v1={t - 512}"
+                          for t in np.asarray(tok).tolist()]
+        return " ".join(parts)
 
 
 # ------------------------------------------------------- unified transform
@@ -752,6 +1030,11 @@ def default_modality_transforms() -> Dict[str, AbstractTransform]:
         "metadata": MetadataTransform(special_vmin=0, special_vmax=999,
                                       shuffle=True, random_trunc=False,
                                       return_chunks=True),
+        "human_poses": HumanPoseTransform(coord_bins=1000),
+        "color_palette": ColorPaletteTransform(coord_bins=1000),
+        "sam_instance": SAMInstanceTokTransform(image_size=224,
+                                                points_per_side=7,
+                                                point_order="random"),
         "mask_valid": MaskTransform(mask_pool_size=1),
     }
 

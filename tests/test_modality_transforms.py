@@ -179,3 +179,128 @@ def test_unified_data_transform_end_to_end():
     plain = UnifiedDataTransform(transforms, augmenter, augment=False)(
         {"tok_rgb": np.ones(4)})
     assert np.array_equal(plain["tok_rgb"], np.ones(4))
+
+
+# --------------------------- SAM / pose / palette transforms (round-3 port)
+def test_sam_instance_transform_pipeline():
+    from egom2p_tpu.data.modality_transforms import SAMInstanceTransform
+
+    t = SAMInstanceTransform(mask_size=16, max_instance_n=4,
+                             bbox_area_threshold=0.0005)
+    # one big square + one tiny square (dropped by the area threshold)
+    big = {"points": np.array([[[40, 40]], [[160, 40]], [[160, 160]],
+                               [[40, 160]]], dtype=np.int32)}
+    tiny = {"points": np.array([[[10, 10]], [[11, 10]], [[11, 11]],
+                                [[10, 11]]], dtype=np.int32)}
+    sample = t.preprocess(np.array([big, tiny], dtype=object))
+    assert len(sample) == 2
+    out = t.image_augment(sample, crop_coords=(20, 20, 180, 180), flip=False,
+                          orig_size=(224, 224), target_size=(64, 64))
+    assert len(out) == 1  # tiny one dropped
+    post = t.postprocess(out)
+    assert post["instance"].shape == (4, 16, 16)
+    assert post["valid"].tolist() == [True, False, False, False]
+    assert post["instance"][0].sum() > 16  # filled polygon, not empty
+    y0, x0, y1, x1 = post["bbox"][0]
+    assert y1 > y0 and x1 > x0
+
+
+def test_sam_instance_clip_against_crop_border():
+    """A polygon sticking out of the crop is clipped to the crop rectangle."""
+    from egom2p_tpu.data.modality_transforms import _clip_polygon
+
+    square = np.array([[-10, 10], [50, 10], [50, 50], [-10, 50]], np.float64)
+    clipped = _clip_polygon(square, (0, 0, 40, 40))
+    assert clipped is not None
+    assert clipped[:, 0].min() >= 0 and clipped[:, 0].max() <= 40
+    assert clipped[:, 1].min() >= 10 and clipped[:, 1].max() <= 40
+    # fully outside -> dropped
+    assert _clip_polygon(square + 1000, (0, 0, 40, 40)) is None
+
+
+def test_human_pose_transform_string():
+    from egom2p_tpu.data.modality_transforms import HumanPoseTransform
+
+    t = HumanPoseTransform(coord_bins=1000)
+    sample = {
+        "bbox_xyxy": [[10.0, 20.0, 100.0, 200.0]],
+        "pred_smpl_params": {
+            "global_orient": [np.eye(3).reshape(1, 3, 3).tolist()[0]],
+            "betas": [list(np.linspace(-1, 1, 10))],
+        },
+        "pose_tokenized": [np.array([5, 600, 100, 700, 1, 2, 3, 4])],
+        "pred_cam": [[0.5, -0.5, 10.0]],
+    }
+    inst = t.preprocess(sample)
+    inst = t.image_augment(inst, crop_coords=(0, 0, 224, 224), flip=False,
+                           orig_size=(224, 224), target_size=(224, 224))
+    s = t.postprocess(inst)
+    assert s.startswith("human ")
+    for kw in ("global", "pose", "shape", "camera", "v0=", "v1="):
+        assert kw in s
+    # pose token 600 >= 512 encodes as v1=88
+    assert "v1=88" in s
+    # only_pose mode returns the raw 207-vector
+    tp = HumanPoseTransform(only_pose=True)
+    assert tp.preprocess({}).shape == (207,)
+
+
+def test_human_pose_crop_drops_outside_bbox():
+    from egom2p_tpu.data.modality_transforms import HumanPoseTransform
+
+    t = HumanPoseTransform()
+    sample = {
+        "bbox_xyxy": [[300.0, 300.0, 400.0, 400.0]],
+        "pred_smpl_params": {"global_orient": [np.eye(3).tolist()],
+                             "betas": [[0.0] * 10]},
+        "pose_tokenized": [np.zeros(8)],
+        "pred_cam": [[0.0, 0.0, 1.0]],
+    }
+    inst = t.preprocess(sample)
+    out = t.image_augment(inst, crop_coords=(0, 0, 200, 200), flip=False,
+                          orig_size=(448, 448), target_size=(224, 224))
+    assert out == "none"
+    assert t.postprocess(out) == "none"
+
+
+def test_color_palette_transform():
+    from egom2p_tpu.data.modality_transforms import ColorPaletteTransform
+
+    t = ColorPaletteTransform()
+    sample = [{str(k): np.arange(3 * k).reshape(k, 3).tolist()
+               for k in range(1, 8)}]
+    vals = t.preprocess(sample)
+    assert len(vals) % 3 == 0
+    s = t.postprocess(vals)
+    toks = s.split()
+    assert toks[0] == f"v1={len(vals) // 3}"
+    assert all(tk.startswith("v0=") for tk in toks[1:])
+
+
+def test_sam_instance_tok_transform_string():
+    from egom2p_tpu.data.modality_transforms import SAMInstanceTokTransform
+
+    t = SAMInstanceTokTransform(image_size=64, points_per_side=2,
+                                point_order="grid")
+    inst = {
+        "points": [np.array([[[0, 0]], [[64, 0]], [[64, 64]], [[0, 64]]],
+                            dtype=np.float32)],
+        "token_ids": np.array([3, 700]),
+        "bbox": np.array([0.0, 0.0, 64.0, 64.0]),
+    }
+    sample = t.preprocess(np.array([[ [inst] ]], dtype=object)[0, 0])
+    sample = t.image_augment(sample, crop_coords=(0, 0, 64, 64), flip=False,
+                             orig_size=(64, 64), target_size=(64, 64),
+                             rand_aug_idx=0)
+    s = t.postprocess([sample] if isinstance(sample, dict) else sample)
+    assert "point" in s and "polygon" in s
+    assert "v0=3" in s        # token < 512
+    assert "v1=188" in s      # 700 - 512
+
+
+def test_default_transforms_include_legacy_modalities():
+    from egom2p_tpu.data.modality_transforms import default_modality_transforms
+
+    m = default_modality_transforms()
+    for k in ("human_poses", "color_palette", "sam_instance"):
+        assert k in m
