@@ -16,6 +16,7 @@ Equivalent of the reference GenerationSampler
 from __future__ import annotations
 
 import copy
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 
 from egom2p_tpu.data.modality_info import MODALITY_INFO
 from egom2p_tpu.models.egom2p import EgoM2P
+from egom2p_tpu.ops.attention import inference_attention
 
 SEQ_TYPES = ("seq", "seq_emb", "seq_token")
 
@@ -314,6 +316,16 @@ def chunked_head_sample(model, params, target_mod: str, y, cond_weights,
 
 def _bucket(n: int, size: int = 256) -> int:
     return max(size, ((n + size - 1) // size) * size)
+
+
+def _inference_attn(fn):
+    """Trace generation step functions with the inference-attention flag on,
+    routing eligible attention to the flash64 kernel (ops/flash64.py)."""
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with inference_attention():
+            return fn(*a, **kw)
+    return wrapped
 
 
 class GenerationSampler:
@@ -751,6 +763,7 @@ class GenerationSampler:
             self._logits_fns[cache_key] = fn
         return self._logits_fns[cache_key]
 
+    @_inference_attn
     def generate_multi_guided(self, uncond_dict, cond_dicts, schedule,
                               top_k: float = 0.0, top_p: float = 0.0,
                               text_tokenizer=None, verbose: bool = False,
@@ -828,6 +841,7 @@ class GenerationSampler:
                 t["target_mask"][rows, ids_keep] = True
         return uncond
 
+    @_inference_attn
     def generate_sam_dense(self, mod_dict, schedule, text_tokenizer,
                            batch_size: int = 16, key: str = "sam_instance",
                            top_k: float = 0.0, top_p: float = 0.0,
@@ -878,6 +892,7 @@ class GenerationSampler:
                                      text_tokenizer=kwargs.get("text_tokenizer"))
             yield mod_dict
 
+    @_inference_attn
     def generate(self, mod_dict, schedule, top_k: float = 0.0,
                  top_p: float = 0.0, text_tokenizer=None, verbose: bool = False,
                  seed: Optional[int] = None):

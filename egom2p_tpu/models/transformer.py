@@ -76,6 +76,30 @@ def _split_heads(x, num_heads):
     return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
 
 
+def _try_flash64(q, k, v, mask, num_heads, softmax1):
+    """Inference fast path: head_dim-64 Pallas kernel in projection layout
+    (B, N, C) — skips the split/merge-head transposes entirely.  Returns the
+    (B, N, C) output or None when ineligible (see ops/flash64.py)."""
+    from egom2p_tpu.ops.attention import (inference_attention_active,
+                                          key_padding_mask)
+    from egom2p_tpu.ops.flash_attention import supports_flash
+
+    C = q.shape[-1]
+    if (softmax1 or C % 128 != 0 or C // num_heads != 64
+            or not inference_attention_active() or not supports_flash()
+            or q.shape[1] * k.shape[1] < 256 * 256 or k.shape[1] > 16384):
+        return None
+    is_kp, kv_blocked = key_padding_mask(mask)
+    if not is_kp:
+        return None
+    import os
+    from egom2p_tpu.ops.flash64 import flash64_attention
+    return flash64_attention(
+        q, k, v, kv_blocked,
+        bq=int(os.environ.get("EGOM2P_F64_BQ", "512")),
+        bk=int(os.environ.get("EGOM2P_F64_BK", "512")))
+
+
 def _merge_heads(x):
     b, h, n, hd = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
@@ -94,10 +118,16 @@ class Attention(nn.Module):
         dim = x.shape[-1]
         qkv = nn.Dense(dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if self.qk_norm:
-            q = LayerNorm(use_bias=self.norm_bias, name="q_norm")(q)
-            k = LayerNorm(use_bias=self.norm_bias, name="k_norm")(k)
+            hd = dim // self.num_heads
+            per_head = lambda t, m: m(  # noqa: E731  per-head LN, layout-free
+                t.reshape(*t.shape[:-1], self.num_heads, hd)).reshape(t.shape)
+            q = per_head(q, LayerNorm(use_bias=self.norm_bias, name="q_norm"))
+            k = per_head(k, LayerNorm(use_bias=self.norm_bias, name="k_norm"))
+        fast = _try_flash64(q, k, v, mask, self.num_heads, self.softmax1)
+        if fast is not None:
+            return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(fast)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if mask is not None and not isinstance(mask, SegmentMask) and mask.ndim == 3:
             mask = mask[:, None]  # add head dim
         out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
@@ -118,10 +148,16 @@ class CrossAttention(nn.Module):
         q = nn.Dense(dim, use_bias=self.qkv_bias, name="q")(x)
         kv = nn.Dense(dim * 2, use_bias=self.qkv_bias, name="kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
-        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if self.qk_norm:
-            q = LayerNorm(use_bias=self.norm_bias, name="q_norm")(q)
-            k = LayerNorm(use_bias=self.norm_bias, name="k_norm")(k)
+            hd = dim // self.num_heads
+            per_head = lambda t, m: m(  # noqa: E731
+                t.reshape(*t.shape[:-1], self.num_heads, hd)).reshape(t.shape)
+            q = per_head(q, LayerNorm(use_bias=self.norm_bias, name="q_norm"))
+            k = per_head(k, LayerNorm(use_bias=self.norm_bias, name="k_norm"))
+        fast = _try_flash64(q, k, v, mask, self.num_heads, self.softmax1)
+        if fast is not None:
+            return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(fast)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if mask is not None and not isinstance(mask, SegmentMask) and mask.ndim == 3:
             mask = mask[:, None]
         out = masked_attention(q, k, v, mask, softmax1=self.softmax1)

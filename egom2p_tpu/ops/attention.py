@@ -12,12 +12,49 @@ signature (see egom2p_tpu/ops/flash_attention.py).
 """
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30  # large negative instead of finfo.min: safe under bf16->fp32 casts
+
+# ---------------------------------------------------------- inference mode
+# Generation wraps its jitted step functions in `inference_attention()` so
+# traced graphs route eligible attention onto the forward-only flash64
+# kernel (ops/flash64.py). Training paths trace outside the context and keep
+# the stock fwd+bwd kernels.
+_INFERENCE_ATTN = False
+
+
+@contextlib.contextmanager
+def inference_attention():
+    global _INFERENCE_ATTN
+    prev = _INFERENCE_ATTN
+    _INFERENCE_ATTN = True
+    try:
+        yield
+    finally:
+        _INFERENCE_ATTN = prev
+
+
+def inference_attention_active() -> bool:
+    if os.environ.get("EGOM2P_FLASH64", "1") == "0":  # A/B kill switch
+        return False
+    return _INFERENCE_ATTN
+
+
+def key_padding_mask(mask) -> "tuple[bool, Optional[jnp.ndarray]]":
+    """(is_key_padding, (B, M) blocked-bool or None) for a module-level mask."""
+    if mask is None or isinstance(mask, SegmentMask):
+        return mask is None, None
+    if mask.ndim == 3 and mask.shape[1] == 1:
+        return True, mask[:, 0]
+    if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
+        return True, mask[:, 0, 0]
+    return False, None
 
 
 class SegmentMask(NamedTuple):

@@ -58,6 +58,20 @@ for name, fn, ref_mask in (
     dg = np.abs(np.asarray(g, np.float32) - np.asarray(gr, np.float32)).max()
     assert dg < 0.25, f"{name} bwd diff {dg}"
     print(name, "ok", float(d), float(dg))
+
+# flash64 inference kernel on hardware: projection layout, padding mask,
+# vs the same dense reference (tests/test_flash64.py covers interpret mode)
+from egom2p_tpu.ops.flash64 import flash64_attention
+q2 = q.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+k2 = k.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+v2 = v.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+out64 = jax.jit(lambda q, k, v: flash64_attention(
+    q, k, v, jnp.asarray(blocked)))(q2, k2, v2)
+ref = dense(q, k, v, jnp.asarray(blocked)[:, None, None, :])
+ref2 = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, N, H * hd), np.float32)
+d64 = np.abs(np.asarray(out64, np.float32) - ref2).max()
+assert d64 < 0.05, f"flash64 fwd diff {d64}"
+print("flash64 ok", float(d64))
 print("FLASH_TPU_OK")
 """
 

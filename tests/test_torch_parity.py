@@ -95,7 +95,10 @@ sys.modules.setdefault("webdataset.filters", _wf)
 _alb = _stub("albumentations")
 _alb.ReplayCompose = type("ReplayCompose", (), {})
 sys.modules.setdefault("albumentations", _alb)
-sys.modules.setdefault("cv2", _stub("cv2"))
+try:
+    import cv2  # noqa: F401  real cv2 when present: the SAM transforms use it
+except ImportError:  # pragma: no cover
+    sys.modules.setdefault("cv2", _stub("cv2"))
 sys.modules["decord"].VideoReader = type("VideoReader", (), {})
 sys.modules["decord"].cpu = lambda *a: None
 
