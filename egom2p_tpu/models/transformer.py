@@ -96,8 +96,8 @@ def _try_flash64(q, k, v, mask, num_heads, softmax1):
     from egom2p_tpu.ops.flash64 import flash64_attention
     return flash64_attention(
         q, k, v, kv_blocked,
-        bq=int(os.environ.get("EGOM2P_F64_BQ", "512")),
-        bk=int(os.environ.get("EGOM2P_F64_BK", "512")))
+        bq=int(os.environ.get("EGOM2P_F64_BQ", "0")),  # 0 = adaptive
+        bk=int(os.environ.get("EGOM2P_F64_BK", "0")))
 
 
 def _merge_heads(x):

@@ -88,6 +88,21 @@ def test_flash64_bf16():
                                atol=3e-2, rtol=3e-2)
 
 
+def test_block_choosers():
+    from egom2p_tpu.ops.flash64 import _adaptive_block, _divisor_block
+
+    # adaptive: largest candidate whose padding waste fits the budget
+    assert _adaptive_block(5120, (1024, 512), 0.04) == 1024  # exact
+    assert _adaptive_block(6912, (1024, 512), 0.04) == 1024  # 3.7% waste
+    assert _adaptive_block(8704, (1024, 512), 0.04) == 512   # 5.9% > 4%
+    assert _adaptive_block(8704, (1024, 512), 0.08) == 1024
+    # divisor: minimize padded length, tie-break toward larger blocks
+    assert _divisor_block(5120, 2560) == 2560  # 2 exact iterations
+    assert _divisor_block(6912, 2560) == 2304  # 3 exact iterations
+    assert _divisor_block(8704, 2560) == 2176  # 4 exact iterations
+    assert _divisor_block(1111, 2560) == 1152  # nothing divides; min pad
+
+
 def test_inference_attention_flag():
     from egom2p_tpu.ops.attention import (inference_attention,
                                           inference_attention_active)
