@@ -510,3 +510,214 @@ def load_cosmos_image_pth(encoder_path: str, decoder_path: str = None,
     params = convert_cosmos_image_state_dict(sd, shapes)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return ImageTokenizer(params, cfg, discrete=discrete)
+
+
+# ---------------------------------------------------------- teacher towers
+def convert_teacher_state_dict(sd: Dict, flax_params: Dict,
+                               domain: str) -> Dict:
+    """Torch teacher checkpoint -> ViTTeacher flax params.
+
+    Handles the three published layouts the reference loads
+    (run_training_vqvae.py:460-481): OpenAI CLIP visual towers
+    (`visual.` prefix or bare, fused `in_proj` attention), torch.hub
+    DINOv2 ViTs (LayerScale `gamma`, plain or fused-SwiGLU MLPs), and
+    ImageBind's vision trunk (whose 2-frame Conv3d patch stem collapses
+    to a 2D conv by summing the time taps, since PadIm2Video feeds the
+    same image to both).
+    """
+    is_clip = domain.startswith("CLIP")
+    is_dino = domain.startswith("DINOv2")
+    is_ib = domain.startswith("ImageBind")
+    if is_clip and any(k.startswith("visual.") for k in sd):
+        sd = {k[len("visual."):]: v for k, v in sd.items()
+              if k.startswith("visual.")}
+    if is_ib:
+        pre = "modality_preprocessors.vision."
+        trunk = "modality_trunks.vision."
+        remap = {}
+        for k, v in sd.items():
+            if k.startswith(pre) or k.startswith(trunk):
+                remap[k] = v
+        if remap:
+            sd = remap
+
+    swiglu_cache: Dict = {}
+
+    def block_param(i, rest):
+        if is_clip:
+            tb = f"transformer.resblocks.{i}."
+            if rest == ("norm1", "weight"):
+                return _t(sd[tb + "ln_1.weight"])
+            if rest == ("norm1", "bias"):
+                return _t(sd[tb + "ln_1.bias"])
+            if rest == ("norm2", "weight"):
+                return _t(sd[tb + "ln_2.weight"])
+            if rest == ("norm2", "bias"):
+                return _t(sd[tb + "ln_2.bias"])
+            if rest == ("attn", "qkv", "kernel"):
+                return _t(sd[tb + "attn.in_proj_weight"]).T
+            if rest == ("attn", "qkv", "bias"):
+                return _t(sd[tb + "attn.in_proj_bias"])
+            if rest == ("attn", "proj", "kernel"):
+                return _dense(sd, tb + "attn.out_proj.weight")
+            if rest == ("attn", "proj", "bias"):
+                return _t(sd[tb + "attn.out_proj.bias"])
+            if rest == ("mlp", "fc1", "kernel"):
+                return _dense(sd, tb + "mlp.c_fc.weight")
+            if rest == ("mlp", "fc1", "bias"):
+                return _t(sd[tb + "mlp.c_fc.bias"])
+            if rest == ("mlp", "fc2", "kernel"):
+                return _dense(sd, tb + "mlp.c_proj.weight")
+            if rest == ("mlp", "fc2", "bias"):
+                return _t(sd[tb + "mlp.c_proj.bias"])
+        elif is_dino:
+            tb = f"blocks.{i}."
+            simple = {
+                ("norm1", "weight"): tb + "norm1.weight",
+                ("norm1", "bias"): tb + "norm1.bias",
+                ("norm2", "weight"): tb + "norm2.weight",
+                ("norm2", "bias"): tb + "norm2.bias",
+                ("attn", "qkv", "bias"): tb + "attn.qkv.bias",
+                ("attn", "proj", "bias"): tb + "attn.proj.bias",
+                ("ls1",): tb + "ls1.gamma",
+                ("ls2",): tb + "ls2.gamma",
+            }
+            if rest in simple:
+                return _t(sd[simple[rest]])
+            if rest == ("attn", "qkv", "kernel"):
+                return _dense(sd, tb + "attn.qkv.weight")
+            if rest == ("attn", "proj", "kernel"):
+                return _dense(sd, tb + "attn.proj.weight")
+            if rest[0] == "mlp":
+                if tb + "mlp.fc1.weight" in sd:  # plain MLP (B14)
+                    name = {"fc1": "fc1", "fc2": "fc2"}[rest[1]]
+                    key = tb + f"mlp.{name}." + (
+                        "weight" if rest[2] == "kernel" else "bias")
+                    return (_dense(sd, key) if rest[2] == "kernel"
+                            else _t(sd[key]))
+                # fused SwiGLU (G14): w12 rows = [gate; value], w3 = out
+                if i not in swiglu_cache:
+                    w12 = _t(sd[tb + "mlp.w12.weight"])
+                    b12 = _t(sd[tb + "mlp.w12.bias"])
+                    h = w12.shape[0] // 2
+                    swiglu_cache[i] = {
+                        ("fc1", "kernel"): w12[:h].T,
+                        ("fc1", "bias"): b12[:h],
+                        ("fc3", "kernel"): w12[h:].T,
+                        ("fc3", "bias"): b12[h:],
+                        ("fc2", "kernel"): _dense(sd, tb + "mlp.w3.weight"),
+                        ("fc2", "bias"): _t(sd[tb + "mlp.w3.bias"]),
+                    }
+                return swiglu_cache[i][rest[1:]]
+        else:  # ImageBind trunk
+            tb = f"modality_trunks.vision.blocks.{i}."
+            simple = {
+                ("norm1", "weight"): tb + "norm_1.weight",
+                ("norm1", "bias"): tb + "norm_1.bias",
+                ("norm2", "weight"): tb + "norm_2.weight",
+                ("norm2", "bias"): tb + "norm_2.bias",
+                ("attn", "qkv", "bias"): tb + "attn.in_proj_bias",
+                ("attn", "proj", "bias"): tb + "attn.out_proj.bias",
+            }
+            if rest in simple:
+                return _t(sd[simple[rest]])
+            if rest == ("attn", "qkv", "kernel"):
+                return _t(sd[tb + "attn.in_proj_weight"]).T
+            if rest == ("attn", "proj", "kernel"):
+                return _dense(sd, tb + "attn.out_proj.weight")
+            if rest[:2] == ("mlp", "fc1") or rest[:2] == ("mlp", "fc2"):
+                key = tb + f"mlp.{rest[1]}." + (
+                    "weight" if rest[2] == "kernel" else "bias")
+                return (_dense(sd, key) if rest[2] == "kernel"
+                        else _t(sd[key]))
+        raise KeyError(f"no torch mapping for teacher param blocks.{i}.{rest}")
+
+    def top_param(path):
+        if is_clip:
+            top = {
+                ("patch_embed", "kernel"):
+                    lambda: _t(sd["conv1.weight"]).transpose(2, 3, 1, 0),
+                ("cls_token",):
+                    lambda: _t(sd["class_embedding"]).reshape(1, 1, -1),
+                ("pos_embed",):
+                    lambda: _t(sd["positional_embedding"])[None],
+                ("ln_pre", "weight"): lambda: _t(sd["ln_pre.weight"]),
+                ("ln_pre", "bias"): lambda: _t(sd["ln_pre.bias"]),
+                ("ln_post", "weight"): lambda: _t(sd["ln_post.weight"]),
+                ("ln_post", "bias"): lambda: _t(sd["ln_post.bias"]),
+                ("proj",): lambda: _t(sd["proj"]),
+            }
+        elif is_dino:
+            top = {
+                ("patch_embed", "kernel"):
+                    lambda: _t(sd["patch_embed.proj.weight"]).transpose(
+                        2, 3, 1, 0),
+                ("patch_embed", "bias"):
+                    lambda: _t(sd["patch_embed.proj.bias"]),
+                ("cls_token",): lambda: _t(sd["cls_token"]),
+                ("pos_embed",): lambda: _t(sd["pos_embed"]),
+                ("ln_post", "weight"): lambda: _t(sd["norm.weight"]),
+                ("ln_post", "bias"): lambda: _t(sd["norm.bias"]),
+            }
+        else:
+            pv = "modality_preprocessors.vision."
+            top = {
+                ("patch_embed", "kernel"):
+                    lambda: _t(sd[pv + "rgbt_stem.proj.1.weight"]).sum(
+                        axis=2).transpose(2, 3, 1, 0),
+                ("cls_token",): lambda: _t(sd[pv + "cls_token"]).reshape(
+                    1, 1, -1),
+                ("pos_embed",):
+                    lambda: _t(sd[pv + "pos_embedding_helper.pos_embed"]),
+                ("ln_pre", "weight"): lambda: _t(
+                    sd["modality_trunks.vision.pre_transformer_layer.0.weight"]),
+                ("ln_pre", "bias"): lambda: _t(
+                    sd["modality_trunks.vision.pre_transformer_layer.0.bias"]),
+            }
+        if path in top:
+            return top[path]()
+        raise KeyError(f"no torch mapping for teacher param {path}")
+
+    out = {}
+    for path, leaf in _flatten(flax_params).items():
+        name = "/".join(path)
+        if path[0].startswith("blocks_"):
+            i = int(path[0].split("_")[1])
+            arr = block_param(i, path[1:])
+        else:
+            arr = top_param(path)
+        out[path] = _check(name, leaf.shape, arr.astype(np.float32))
+    return _unflatten(out)
+
+
+def load_teacher_pth(path: str, domain: str) -> Dict:
+    """Load a torch teacher checkpoint from disk into ViTTeacher params.
+
+    Accepts OpenAI CLIP (full model or visual-only, incl. jit archives),
+    DINOv2 hub, and ImageBind checkpoints; nested under 'state_dict' /
+    'model' or flat."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from egom2p_tpu.models.teachers import TEACHER_SPECS, ViTTeacher
+
+    if path.endswith((".jit", ".pt")) :
+        try:
+            sd = torch.jit.load(path, map_location="cpu").state_dict()
+        except RuntimeError:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
+    else:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    spec = TEACHER_SPECS[domain]
+    module = ViTTeacher(spec)
+    x0 = jnp.zeros((1, spec.image_size, spec.image_size, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: module.init(k, x0),
+                            jax.random.PRNGKey(0))
+    params = convert_teacher_state_dict(dict(sd), shapes["params"], domain)
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}

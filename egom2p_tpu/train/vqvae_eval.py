@@ -107,7 +107,14 @@ def eval_metrics(tok, data, domain: str, codebook_size: int,
     elif domain == "gaze":
         results.update(_gaze_metrics(pred, gt))
     else:
-        raise ValueError(f"unknown eval domain {domain}")
+        from egom2p_tpu.models.teachers import TEACHER_SPECS
+        if domain not in TEACHER_SPECS:
+            raise ValueError(f"unknown eval domain {domain}")
+        # feature domains: MSE/MAE/PSNR only — the reference builds exactly
+        # these three for DENSE_FEAT_MODALITIES (run_training_vqvae.py:
+        # 1546-1562, data_range=1) and skips SSIM/FID/IS
+        results.update({"mse": M.mse(pred, gt), "mae": M.mae(pred, gt),
+                        "psnr": M.psnr(pred, gt, data_range=1.0)})
 
     # codebook usage over 256-sample windows (reference :1711-1719)
     window = 256 * tokens.shape[1]

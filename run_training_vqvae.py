@@ -97,7 +97,20 @@ def get_args(argv=None):
     p.add_argument("--model_ema_update_freq", type=int, default=1)
     # Data
     p.add_argument("--domain", default="cam",
-                   choices=["cam", "gaze", "rgb", "depth"])
+                   help="cam | gaze | rgb | depth | a feature domain "
+                        "(CLIP-B16, CLIP-L14, DINOv2-B14[-global], "
+                        "DINOv2-G14[-global], ImageBind-H14[-global]); "
+                        "feature domains train on frozen-teacher features "
+                        "(reference FEAT_MODALITIES, run_training_vqvae.py:78)")
+    # feature-teacher options (reference: get_feature_extractor,
+    # run_training_vqvae.py:460-481 — hub downloads there, local ckpt here)
+    p.add_argument("--teacher_ckpt", default=None,
+                   help="local torch checkpoint for the frozen feature "
+                        "teacher (CLIP/DINOv2/ImageBind); random init if "
+                        "unset (smoke runs only)")
+    p.add_argument("--teacher_dtype", default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="teacher tower compute dtype (bf16 rides the MXU)")
     p.add_argument("--data_path", default=None,
                    help="npy/npz of training clips; cam: (N,60,4,4) poses or "
                         "(N,60,9) canonicalized; gaze: (N,60,2)")
@@ -127,13 +140,37 @@ def get_args(argv=None):
 
 
 VIDEO_DOMAINS = ("rgb", "depth")
+SEQ_DOMAINS = ("cam", "gaze")
 GRAD_QUANTIZERS = ("taming", "memcodes")
+
+
+def is_feature_domain(domain: str) -> bool:
+    """Feature domains come from the teacher registry (reference
+    FEAT_MODALITIES, run_training_vqvae.py:78) — importing it lazily keeps
+    `--help` jax-free."""
+    if domain in VIDEO_DOMAINS or domain in SEQ_DOMAINS:
+        return False
+    from egom2p_tpu.models.teachers import TEACHER_SPECS
+    if domain not in TEACHER_SPECS:
+        raise SystemExit(
+            f"unknown --domain {domain!r}; expected one of "
+            f"{SEQ_DOMAINS + VIDEO_DOMAINS} or {tuple(TEACHER_SPECS)}")
+    return True
 
 
 def _build_core_module(args):
     """The encoder/decoder core without a quantizer, for grad-VQ wrapping."""
     import jax
 
+    if is_feature_domain(args.domain):
+        from egom2p_tpu.models.teachers import TEACHER_SPECS
+        from egom2p_tpu.tokenizers.feature_vqvae import FeatureAutoencoder
+        spec = TEACHER_SPECS[args.domain]
+        grid = 1 if spec.global_pool else spec.grid
+        core = FeatureAutoencoder(
+            n_channels=spec.feat_dim, latent_dim=args.latent_dim,
+            dim=args.vq_dim, depth=args.vq_depth, num_heads=args.vq_heads)
+        return core, (1, grid, grid, spec.feat_dim)
     if args.domain in VIDEO_DOMAINS:
         from egom2p_tpu.tokenizers.video_vqvae import VideoAutoencoder
         core = VideoAutoencoder(
@@ -176,6 +213,18 @@ def build_grad_tokenizer(args, rng):
 def build_tokenizer(args, rng):
     if args.quantizer_type in GRAD_QUANTIZERS:
         return build_grad_tokenizer(args, rng)
+    if is_feature_domain(args.domain):
+        from egom2p_tpu.tokenizers.feature_vqvae import feature_vqvae_from_config
+
+        return feature_vqvae_from_config(
+            args.domain, rng, codebook_size=args.codebook_size,
+            latent_dim=args.latent_dim, ema_decay=args.quantizer_ema_decay,
+            threshold_ema_dead_code=2.0,  # image-like domains use the fixed
+                                          # threshold (run_training_vqvae.py:391)
+            commitment_weight=args.commitment_weight,
+            kmeans_init=args.kmeans_init, norm_codes=args.norm_codes,
+            code_replacement_policy=args.code_replacement_policy,
+            dim=args.vq_dim, depth=args.vq_depth, num_heads=args.vq_heads)
     if args.domain in VIDEO_DOMAINS:
         from egom2p_tpu.tokenizers.video_vqvae import video_vqvae_from_config
 
@@ -285,6 +334,32 @@ def run_tokenize_video(args, tok):
     return outs
 
 
+def run_tokenize_features(args, tok):
+    """Pre-tokenize images into teacher-feature tokens — the artifacts the
+    pretrain registry consumes as tok_clip@224 / tok_dinov2@224 / ...
+    (reference: modality_info.py:194-205 pretokenized entries)."""
+    feat_fn, _ = build_teacher(args)
+    images = load_image_data(args, args.tokenize_path)
+    feats = extract_features(feat_fn, images, args.batch_size)
+    name = os.path.basename(os.path.normpath(args.tokenize_path)).split(".")[0]
+    name += "-recon" if args.recon else "-tok"
+    out_dir = os.path.join(args.tokenize_save_path, "token")
+    os.makedirs(out_dir, exist_ok=True)
+    chunks = [feats[i:i + args.batch_size]
+              for i in range(0, len(feats), args.batch_size)]
+    if args.recon:
+        rec = np.concatenate([np.asarray(tok.autoencode(c)) for c in chunks])
+        out = os.path.join(out_dir, f"{name}.npy")
+        np.save(out, rec)
+    else:
+        tokens = np.concatenate(
+            [np.asarray(tok.tokenize(c)) for c in chunks]).astype(np.int16)
+        out = os.path.join(out_dir, f"{name}.npz")
+        np.savez(out, tokens)
+    print(f"saved {out}")
+    return out
+
+
 def run_tokenize(args):
     import jax
     from egom2p_tpu.data.cam_gaze import denormalize_cam, denormalize_gaze
@@ -297,6 +372,8 @@ def run_tokenize(args):
 
     if args.domain in VIDEO_DOMAINS:
         return run_tokenize_video(args, tok)
+    if is_feature_domain(args.domain):
+        return run_tokenize_features(args, tok)
 
     x, name = prepare_samples(args, args.tokenize_path)
     out_dir = os.path.join(args.tokenize_save_path, "token")
@@ -360,19 +437,97 @@ def load_seq_data(args, path: str) -> np.ndarray:
     return data.astype(np.float32)
 
 
-def build_eval_data(args, fallback=None):
+class _FrameView:
+    """Single frames out of a clip dataset: feature domains train on images
+    (the reference feeds image batches, run_training_vqvae.py:949-951)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        return self.ds[int(i)][0]
+
+
+def load_image_data(args, path: str):
+    """RGB images for feature-domain training: .npy/.npz of (N, H, W, 3)
+    (uint8 or [-1, 1] float) or a directory of videos whose frames are
+    treated as images.  The teacher resizes to its own input size."""
+    if os.path.isdir(path) or path.endswith((".mp4", ".MP4")):
+        from egom2p_tpu.data.video_dataset import VideoClipDataset
+        return _FrameView(VideoClipDataset(
+            path, mode="train", clip_len=1, crop_size=args.input_size,
+            frame_sample_rate=args.frame_sample_rate, domain="rgb",
+            use_npy=args.use_npy, seed=args.seed))
+    data = np.load(path)
+    if hasattr(data, "files"):
+        data = data[data.files[0]]
+    if data.dtype == np.uint8:
+        data = data.astype(np.float32) / 127.5 - 1.0
+    return data.astype(np.float32)
+
+
+def build_teacher(args):
+    """Frozen feature teacher as a jitted extractor fn (reference
+    get_feature_extractor + on-the-fly extraction in load_sample,
+    run_training_vqvae.py:460-481, 949-1002).  bf16 by default: the tower
+    is inference-only, so its matmuls should ride the MXU at half width."""
+    import jax
+    import jax.numpy as jnp
+    from egom2p_tpu.models.teachers import get_feature_extractor
+
+    module, params, spec = get_feature_extractor(
+        args.domain, args.teacher_ckpt, jax.random.PRNGKey(args.seed))
+    dtype = jnp.bfloat16 if args.teacher_dtype == "bf16" else jnp.float32
+    params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+
+    @jax.jit
+    def feat_fn(rgb):
+        return module.apply(params, rgb.astype(dtype)).astype(jnp.float32)
+
+    return feat_fn, spec
+
+
+def extract_features(feat_fn, images, batch_size: int, limit=None) -> np.ndarray:
+    """Teacher features for a host-side image collection, batched through
+    the jitted tower."""
+    import jax
+    n = len(images) if limit is None else min(len(images), limit)
+    outs = []
+    for i in range(0, n, batch_size):
+        if isinstance(images, np.ndarray):
+            b = images[i:i + batch_size]
+        else:
+            b = np.stack([images[j] for j in range(i, min(i + batch_size, n))])
+        outs.append(np.asarray(jax.device_get(feat_fn(b))))
+    return np.concatenate(outs)
+
+
+def build_eval_data(args, fallback=None, feat_fn=None):
     """Eval dataset from --eval_data_path; falls back to the training data
     when absent (the reference requires a separate eval set; training-set
-    eval is still a meaningful reconstruction/codebook health check)."""
-    if not args.eval_data_path:
-        return fallback
+    eval is still a meaningful reconstruction/codebook health check).
+    Feature domains return precomputed teacher features."""
     if args.domain in VIDEO_DOMAINS:
+        if not args.eval_data_path:
+            return fallback
         from egom2p_tpu.data.video_dataset import VideoClipDataset
         return VideoClipDataset(
             args.eval_data_path, mode="val", clip_len=args.num_frames,
             crop_size=args.input_size,
             frame_sample_rate=args.frame_sample_rate, domain=args.domain,
             use_npy=args.use_npy)
+    if is_feature_domain(args.domain):
+        images = (load_image_data(args, args.eval_data_path)
+                  if args.eval_data_path else fallback)
+        if images is None:
+            return None
+        return extract_features(feat_fn, images, args.batch_size,
+                                limit=args.num_eval_metrics_samples)
+    if not args.eval_data_path:
+        return fallback
     return load_seq_data(args, args.eval_data_path)
 
 
@@ -433,7 +588,9 @@ def run_train(args):
 
     assert args.data_path, "--data_path required for training"
     video_domain = args.domain in VIDEO_DOMAINS
+    feat_domain = is_feature_domain(args.domain)
     dataset = None
+    feat_fn = None
     if video_domain:
         from egom2p_tpu.data.video_dataset import VideoClipDataset
         dataset = VideoClipDataset(
@@ -443,6 +600,11 @@ def run_train(args):
             use_npy=args.use_npy, seed=args.seed)
         n_samples = len(dataset)
         print(f"train videos: {n_samples}")
+    elif feat_domain:
+        data = load_image_data(args, args.data_path)
+        n_samples = len(data)
+        feat_fn, _ = build_teacher(args)
+        print(f"train images: {n_samples} ({args.domain} features)")
     else:
         data = load_seq_data(args, args.data_path)
         n_samples = len(data)
@@ -499,8 +661,13 @@ def run_train(args):
             # quantize_lucid.py:137-167); without this the codebook would
             # train from all-zero rows
             from egom2p_tpu.ops.vq import kmeans_init_state
-            first = (dataset[0][None] if video_domain
-                     else data[:min(len(data), 256)])
+            if video_domain:
+                first = dataset[0][None]
+            elif feat_domain:
+                first = extract_features(feat_fn, data, args.batch_size,
+                                         limit=min(n_samples, 64))
+            else:
+                first = data[:min(len(data), 256)]
             lat = tok.module.apply(
                 tok.params, jax.numpy.asarray(first),
                 method=type(tok.module).encode_latents)
@@ -533,7 +700,10 @@ def run_train(args):
                 batch = next(batch_iter)
             else:
                 idx = order[it * global_batch:(it + 1) * global_batch]
-                batch = data[idx]
+                batch = (data[idx] if isinstance(data, np.ndarray)
+                         else np.stack([data[int(j)] for j in idx]))
+                if feat_domain:  # frozen-teacher features, on device
+                    batch = feat_fn(batch)
             key, k = jax.random.split(key)
             state, metrics = step_fn(state, batch, k)
             logger.update(**{m: float(v) for m, v in metrics.items()})
@@ -542,7 +712,8 @@ def run_train(args):
         if args.eval_freq and (epoch + 1) % args.eval_freq == 0:
             from egom2p_tpu.train.vqvae_eval import run_eval_suite
             eval_data = build_eval_data(
-                args, fallback=dataset if video_domain else data)
+                args, fallback=dataset if video_domain else data,
+                feat_fn=feat_fn)
             eval_stats = run_eval_suite(
                 tok, state, eval_data, args.domain, args.codebook_size,
                 args.loss_fn, args.codebook_weight, args.batch_size,
@@ -592,6 +763,11 @@ def run_eval_only(args):
             crop_size=args.input_size,
             frame_sample_rate=args.frame_sample_rate, domain=args.domain,
             use_npy=args.use_npy)
+    elif is_feature_domain(args.domain):
+        feat_fn, _ = build_teacher(args)
+        eval_data = extract_features(feat_fn, load_image_data(args, eval_path),
+                                     args.batch_size,
+                                     limit=args.num_eval_metrics_samples)
     else:
         eval_data = load_seq_data(args, eval_path)
 
