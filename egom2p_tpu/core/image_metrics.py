@@ -216,16 +216,29 @@ def make_lpips(kind: str = "vgg") -> Callable[[np.ndarray, np.ndarray], float]:
     return metric
 
 
+def _load_inception():
+    path = _require_weights("inception_v3.npz",
+                            "InceptionV3 (FID pool3 / InceptionScore)")
+    from egom2p_tpu.core.inception_v3 import make_inception_fns
+    return make_inception_fns(dict(np.load(path)))
+
+
 def make_fid(feature_fn: Optional[Callable] = None) -> FIDAccumulator:
-    """FID accumulator; defaults to the InceptionV3 dependency when no
-    feature_fn is given."""
+    """FID accumulator; the default extractor is the JAX InceptionV3 pool3
+    graph fed from ckpt/inception_v3.npz (core/inception_v3.py)."""
     if feature_fn is None:
-        path = _require_weights("inception_v3.npz", "FID (InceptionV3 pool3)")
-        raise NotImplementedError(
-            f"InceptionV3 graph not bundled; found weights at {path} but the "
-            f"flax InceptionV3 port is pending. Pass feature_fn= to use "
-            f"another extractor.")
+        feature_fn, _ = _load_inception()
     return FIDAccumulator(feature_fn)
+
+
+def make_inception_score(probs_fn: Optional[Callable] = None,
+                         splits: int = 10) -> Callable[[np.ndarray], float]:
+    """InceptionScore over generated images in [0,1] (reference:
+    run_training_vqvae.py:1574-1586, torchmetrics InceptionScore)."""
+    if probs_fn is None:
+        _, probs_fn = _load_inception()
+    return lambda images: inception_score_from_probs(probs_fn(images),
+                                                     splits=splits)
 
 
 def make_perceptual_loss(kind: str = "lpips"):

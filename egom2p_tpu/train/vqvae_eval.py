@@ -168,8 +168,12 @@ def _perceptual_metrics(frames_p, frames_g, no_inception: bool) -> Dict[str, flo
         out["fid"] = fid.compute()
     except (MissingPretrainedWeights, NotImplementedError):
         pass
-    # InceptionScore needs the same InceptionV3 classifier; covered by the
-    # make_fid gate above (no separate probs source without it).
+    if not no_inception:
+        from egom2p_tpu.core.image_metrics import make_inception_score
+        try:
+            out["inception_score"] = make_inception_score()(frames_p)
+        except (MissingPretrainedWeights, NotImplementedError):
+            pass
     return out
 
 
