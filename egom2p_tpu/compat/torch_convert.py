@@ -686,8 +686,33 @@ def convert_teacher_state_dict(sd: Dict, flax_params: Dict,
             arr = block_param(i, path[1:])
         else:
             arr = top_param(path)
+        if path == ("pos_embed",) and arr.shape != leaf.shape:
+            # checkpoints store pos_embed at the pretrain grid (e.g. DINOv2
+            # hub ships img_size 518 -> 1+37^2 positions); interpolate the
+            # patch grid to this spec's size like the torch models do at
+            # runtime (DINOv2 interpolate_pos_encoding, bicubic)
+            arr = _interp_posemb(arr, leaf.shape[1])
         out[path] = _check(name, leaf.shape, arr.astype(np.float32))
     return _unflatten(out)
+
+
+def _interp_posemb(arr: np.ndarray, n_target: int) -> np.ndarray:
+    """(1, 1+g0^2, w) learned posemb -> (1, 1+g1^2, w): keep the cls slot,
+    bicubic-resize the square patch grid."""
+    from scipy.ndimage import zoom
+
+    cls_tok, grid = arr[:, :1], arr[0, 1:]
+    g0 = int(round(float(np.sqrt(grid.shape[0]))))
+    g1 = int(round(float(np.sqrt(n_target - 1))))
+    if g0 * g0 != grid.shape[0] or g1 * g1 != n_target - 1:
+        raise ValueError(f"cannot interpolate posemb {arr.shape} -> "
+                         f"{n_target} positions (non-square grid)")
+    grid = grid.reshape(g0, g0, -1)
+    # grid_mode=True + edge replication ~ torch F.interpolate(bicubic,
+    # align_corners=False), the sampling DINOv2 interpolates with at runtime
+    grid = zoom(grid, (g1 / g0, g1 / g0, 1.0), order=3, grid_mode=True,
+                mode="nearest")
+    return np.concatenate([cls_tok, grid.reshape(1, g1 * g1, -1)], axis=1)
 
 
 def load_teacher_pth(path: str, domain: str) -> Dict:

@@ -216,18 +216,27 @@ def make_lpips(kind: str = "vgg") -> Callable[[np.ndarray, np.ndarray], float]:
     return metric
 
 
-def _load_inception():
+_INCEPTION_CACHE: Dict = {}
+
+
+def get_inception_fns():
+    """(feature_fn, probs_fn, run) from ckpt/inception_v3.npz, cached so the
+    weights load and the XLA compile happen once per process."""
     path = _require_weights("inception_v3.npz",
                             "InceptionV3 (FID pool3 / InceptionScore)")
-    from egom2p_tpu.core.inception_v3 import make_inception_fns
-    return make_inception_fns(dict(np.load(path)))
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if key not in _INCEPTION_CACHE:
+        from egom2p_tpu.core.inception_v3 import make_inception_fns
+        _INCEPTION_CACHE.clear()
+        _INCEPTION_CACHE[key] = make_inception_fns(dict(np.load(path)))
+    return _INCEPTION_CACHE[key]
 
 
 def make_fid(feature_fn: Optional[Callable] = None) -> FIDAccumulator:
     """FID accumulator; the default extractor is the JAX InceptionV3 pool3
     graph fed from ckpt/inception_v3.npz (core/inception_v3.py)."""
     if feature_fn is None:
-        feature_fn, _ = _load_inception()
+        feature_fn = get_inception_fns()[0]
     return FIDAccumulator(feature_fn)
 
 
@@ -236,7 +245,7 @@ def make_inception_score(probs_fn: Optional[Callable] = None,
     """InceptionScore over generated images in [0,1] (reference:
     run_training_vqvae.py:1574-1586, torchmetrics InceptionScore)."""
     if probs_fn is None:
-        _, probs_fn = _load_inception()
+        probs_fn = get_inception_fns()[1]
     return lambda images: inception_score_from_probs(probs_fn(images),
                                                      splits=splits)
 

@@ -942,18 +942,23 @@ class SAMInstanceTokTransform(AbstractTransform):
         return v[rand_aug_idx]
 
     def postprocess(self, sample):
+        """`sample` is ONE augmentation dict (selected by image_augment):
+        'points' holds per-instance polygon coords, 'token_ids'/'bbox' the
+        matching per-instance rows (reference: modality_transforms.py:
+        1262-1278 zips sample['points']/['token_ids']/['bbox'])."""
         import cv2
 
         points = [tuple(int(c) for c in p) for p in self._query_points()]
         random.shuffle(points)
+        coords_list = [np.asarray(c[0], np.float32) for c in sample["points"]]
         parts: List[str] = []
         for point in points:
             parts += ["point", f"v0={point[1]}", f"v1={point[0]}"]
             hits = []
-            for inst in sample:
-                coords = np.asarray(inst["points"][0], np.float32)
+            for coords, tok, bbox in zip(coords_list, sample["token_ids"],
+                                         sample["bbox"]):
                 if cv2.pointPolygonTest(coords, point, measureDist=False) >= 0:
-                    hits.append((inst["token_ids"], inst["bbox"]))
+                    hits.append((tok, bbox))
             if not hits:
                 parts.append("none")
                 continue

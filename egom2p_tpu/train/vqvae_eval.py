@@ -87,6 +87,16 @@ def eval_metrics(tok, data, domain: str, codebook_size: int,
     (reference :1389-1399)."""
     from egom2p_tpu.core.distributed import all_reduce_metrics
 
+    if domain in ("rgb", "depth"):
+        # clips are large: stream batches into accumulators instead of
+        # materializing the whole eval set in host RAM (the reference
+        # streams through torchmetrics .update() the same way, :1598-1652)
+        results = _video_metrics_stream(tok, data, domain, batch_size,
+                                        limit, no_inception, codebook_size)
+        if results is None:
+            return {}
+        return all_reduce_metrics(results, mesh=mesh)
+
     preds, gts, all_tokens = [], [], []
     for batch in _batches_of(data, batch_size, limit):
         rec, tokens = _autoencode_and_tokens(tok, batch)
@@ -100,9 +110,7 @@ def eval_metrics(tok, data, domain: str, codebook_size: int,
     tokens = np.concatenate(all_tokens)
 
     results: Dict[str, float] = {}
-    if domain in ("rgb", "depth"):
-        results.update(_video_metrics(pred, gt, domain, no_inception))
-    elif domain == "cam":
+    if domain == "cam":
         results.update(_cam_metrics(pred, gt))
     elif domain == "gaze":
         results.update(_gaze_metrics(pred, gt))
@@ -123,57 +131,87 @@ def eval_metrics(tok, data, domain: str, codebook_size: int,
     return all_reduce_metrics(results, mesh=mesh)
 
 
-def _video_metrics(pred, gt, domain: str, no_inception: bool) -> Dict[str, float]:
-    """rgb: metrics in [0,1] per frame (reference :1598-1652); depth:
-    standardized single channel (reference :1604-1608)."""
-    if domain == "rgb":
-        # clips are [-1,1] channels-last -> [0,1] (reference denormalize
-        # mean/std 0.5, :1599-1601)
-        p = np.clip(pred * 0.5 + 0.5, 0.0, 1.0)
-        g = gt * 0.5 + 0.5
-        data_range = 1.0
-    else:
-        p, g = pred, gt
-        data_range = 2.0
-    out = {"mse": M.mse(p, g), "mae": M.mae(p, g),
-           "psnr": M.psnr(p, g, data_range=data_range)}
-    if domain == "rgb":
-        from egom2p_tpu.core.image_metrics import (MissingPretrainedWeights,
-                                                   ms_ssim)
-        # frames: (B, T, H, W, C) -> (B*T, H, W, C)
-        frames_p = p.reshape(-1, *p.shape[-3:])
-        frames_g = g.reshape(-1, *g.shape[-3:])
-        if min(frames_p.shape[-3:-1]) >= 176:  # 5-scale MS-SSIM minimum side
-            out["ms_ssim"] = ms_ssim(frames_p, frames_g, data_range=1.0)
-        out.update(_perceptual_metrics(frames_p, frames_g, no_inception))
-    return out
-
-
-def _perceptual_metrics(frames_p, frames_g, no_inception: bool) -> Dict[str, float]:
-    """FID / LPIPS / IS — live only when their pretrained backbones are on
-    disk (reference uses torchvision-downloaded InceptionV3/AlexNet,
-    :1563-1573; this zero-egress build loads ckpt/*.npz when present)."""
+def _video_metrics_stream(tok, data, domain: str, batch_size: int,
+                          limit, no_inception: bool,
+                          codebook_size: int) -> Optional[Dict[str, float]]:
+    """Streaming rgb/depth metric suite: per-batch autoencode, accumulate
+    MSE/MAE sums (psnr from the global MSE, identical to the whole-set
+    computation), per-frame MS-SSIM/LPIPS means, FID feature moments and
+    IS probs — one InceptionV3 forward per split, shared between FID and
+    IS.  rgb metrics in [0,1] per frame (reference :1598-1652); depth on
+    the standardized channel (reference :1604-1608)."""
     from egom2p_tpu.core.image_metrics import (MissingPretrainedWeights,
-                                               make_fid, make_lpips)
+                                               fid_from_features,
+                                               get_inception_fns,
+                                               inception_score_from_probs,
+                                               make_lpips, ms_ssim)
 
-    out: Dict[str, float] = {}
-    try:
-        out["lpips"] = make_lpips()(frames_p * 2 - 1, frames_g * 2 - 1)
-    except (MissingPretrainedWeights, NotImplementedError):
-        pass
-    try:
-        fid = make_fid()
-        fid.update(frames_g, real=True)
-        fid.update(frames_p, real=False)
-        out["fid"] = fid.compute()
-    except (MissingPretrainedWeights, NotImplementedError):
-        pass
-    if not no_inception:
-        from egom2p_tpu.core.image_metrics import make_inception_score
+    lpips = inception = None
+    if domain == "rgb":
         try:
-            out["inception_score"] = make_inception_score()(frames_p)
+            lpips = make_lpips()
         except (MissingPretrainedWeights, NotImplementedError):
             pass
+        try:
+            inception = get_inception_fns()
+        except (MissingPretrainedWeights, NotImplementedError):
+            pass
+
+    data_range = 1.0 if domain == "rgb" else 2.0
+    sq = ab = n_el = 0.0
+    ssim_sum = lpips_sum = frames_n = 0.0
+    feats_r, feats_f, probs_f = [], [], []
+    ssim_ok = True
+    tokens_list = []
+    for batch in _batches_of(data, batch_size, limit):
+        rec, tokens = _autoencode_and_tokens(tok, batch)
+        tokens_list.append(tokens.reshape(len(batch), -1))
+        if domain == "rgb":
+            # [-1,1] -> [0,1] (reference denormalize mean/std 0.5, :1599-1601)
+            p = np.clip(rec * 0.5 + 0.5, 0.0, 1.0)
+            g = batch * 0.5 + 0.5
+        else:
+            p, g = rec, batch
+        diff = p - g
+        sq += float(np.sum(diff ** 2))
+        ab += float(np.sum(np.abs(diff)))
+        n_el += diff.size
+        if domain == "rgb":
+            fp = p.reshape(-1, *p.shape[-3:])  # (B*T, H, W, C) frames
+            fg = g.reshape(-1, *g.shape[-3:])
+            ssim_ok = min(fp.shape[-3:-1]) >= 176  # 5-scale minimum side
+            if ssim_ok:
+                ssim_sum += ms_ssim(fp, fg, data_range=1.0) * len(fp)
+            if lpips is not None:
+                lpips_sum += lpips(fp * 2 - 1, fg * 2 - 1) * len(fp)
+            if inception is not None:
+                feature_fn, _, run = inception
+                f, pr = run(fp)  # one forward feeds FID-fake AND IS
+                feats_f.append(f)
+                probs_f.append(pr)
+                feats_r.append(feature_fn(fg))
+            frames_n += len(fp)
+    if not tokens_list:
+        return None
+
+    m = sq / n_el
+    out = {"mse": m, "mae": ab / n_el,
+           "psnr": float("inf") if m == 0 else
+           float(10 * np.log10(data_range ** 2 / m))}
+    if domain == "rgb" and frames_n:
+        if ssim_ok:
+            out["ms_ssim"] = ssim_sum / frames_n
+        if lpips is not None:
+            out["lpips"] = lpips_sum / frames_n
+        if inception is not None:
+            out["fid"] = fid_from_features(np.concatenate(feats_r),
+                                           np.concatenate(feats_f))
+            if not no_inception:
+                out["inception_score"] = inception_score_from_probs(
+                    np.concatenate(probs_f))
+    tokens = np.concatenate(tokens_list)
+    out["codebook_usage"] = M.codebook_usage(tokens, codebook_size,
+                                             window=256 * tokens.shape[1])
     return out
 
 
@@ -199,8 +237,8 @@ def _gaze_metrics(pred, gt) -> Dict[str, float]:
     mask = gt[..., 2] > 0.5
     p = denormalize_gaze(pred[..., :2])
     g = denormalize_gaze(gt[..., :2])
-    if mask.sum() == 0:
-        return {"mse": 0.0, "mae": 0.0}
+    if mask.sum() == 0:  # keep the key set stable across epochs
+        return {"mse": 0.0, "mae": 0.0, "psnr": 0.0}
     pm, gm = p[mask], g[mask]
     return {"mse": M.mse(pm, gm), "mae": M.mae(pm, gm),
             "psnr": M.psnr(pm, gm, data_range=1.0)}

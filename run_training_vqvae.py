@@ -567,6 +567,13 @@ def _restore_state(state, loaded: dict):
                                          if v is not None})
     if "ema_params" in loaded:
         updates["ema_params"] = loaded["ema_params"]
+    elif state.ema_params is not None:
+        # resuming with --model_ema from a pre-EMA checkpoint: seed the EMA
+        # from the restored weights, not the fresh random init (matches the
+        # reference ModelEma(model) construction from loaded weights)
+        import jax
+        updates["ema_params"] = jax.tree_util.tree_map(
+            jax.numpy.array, loaded["params"])
     return state._replace(**updates)
 
 
@@ -689,6 +696,10 @@ def run_train(args):
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
     jsonl = JsonlLogger(args.output_dir)
+    eval_data = None
+    if args.eval_freq:  # eval data is epoch-invariant; build it once
+        eval_data = build_eval_data(
+            args, fallback=dataset if video_domain else data, feat_fn=feat_fn)
     batch_iter = (dataset.iter_batches(global_batch) if video_domain else None)
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger(print_freq=args.print_freq)
@@ -711,9 +722,6 @@ def run_train(args):
                        **{k: v.global_avg for k, v in logger.meters.items()}}
         if args.eval_freq and (epoch + 1) % args.eval_freq == 0:
             from egom2p_tpu.train.vqvae_eval import run_eval_suite
-            eval_data = build_eval_data(
-                args, fallback=dataset if video_domain else data,
-                feat_fn=feat_fn)
             eval_stats = run_eval_suite(
                 tok, state, eval_data, args.domain, args.codebook_size,
                 args.loss_fn, args.codebook_weight, args.batch_size,

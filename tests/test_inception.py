@@ -81,7 +81,7 @@ def _conv_specs():
     return specs
 
 
-def _random_weights(rng):
+def _random_weights(rng, n_classes=1000):
     w = {}
     for name, o, i, kh, kw in _conv_specs():
         w[f"{name}.conv.weight"] = rng.normal(
@@ -90,9 +90,28 @@ def _random_weights(rng):
         w[f"{name}.bn.bias"] = np.zeros(o, np.float32)
         w[f"{name}.bn.running_mean"] = np.zeros(o, np.float32)
         w[f"{name}.bn.running_var"] = np.ones(o, np.float32)
-    w["fc.weight"] = rng.normal(0, 0.01, (1000, 2048)).astype(np.float32)
-    w["fc.bias"] = np.zeros(1000, np.float32)
+    w["fc.weight"] = rng.normal(0, 0.01, (n_classes, 2048)).astype(np.float32)
+    w["fc.bias"] = np.zeros(n_classes, np.float32)
     return w
+
+
+@pytest.mark.slow
+def test_inception_fid_variant():
+    """pt_inception-style weights (1008-class fc) select the pytorch-fid
+    graph semantics and differ from the torchvision graph."""
+    from egom2p_tpu.core.inception_v3 import (detect_variant,
+                                              inception_v3_forward)
+
+    rng = np.random.default_rng(2)
+    w = _random_weights(rng, n_classes=1008)
+    assert detect_variant(w) == "fid"
+    imgs = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    feats, logits = inception_v3_forward(imgs, w)
+    assert feats.shape == (2, 2048) and logits.shape == (2, 1008)
+    # same weights forced through the torchvision semantics give different
+    # features (exclude-pad pools + 2x-1 input vs imagenet stats)
+    feats_tv, _ = inception_v3_forward(imgs, w, variant="torchvision")
+    assert not np.allclose(np.asarray(feats), np.asarray(feats_tv))
 
 
 @pytest.mark.slow
@@ -108,7 +127,7 @@ def test_inception_graph_shapes_and_metrics(tmp_path, monkeypatch):
     assert logits.shape == (4, 1000)
     assert np.isfinite(np.asarray(feats)).all()
 
-    feature_fn, probs_fn = make_inception_fns(w, batch=2)
+    feature_fn, probs_fn, run = make_inception_fns(w, batch=2)
     f = feature_fn(imgs)
     np.testing.assert_allclose(f, np.asarray(feats), rtol=2e-4, atol=2e-4)
     p = probs_fn(imgs)

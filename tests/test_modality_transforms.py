@@ -282,17 +282,23 @@ def test_sam_instance_tok_transform_string():
 
     t = SAMInstanceTokTransform(image_size=64, points_per_side=2,
                                 point_order="grid")
-    inst = {
+    # reference npy layout: array of per-augmentation dicts, each holding
+    # per-instance rows (points list, (n_inst, n_tok) token_ids,
+    # (n_inst, 4) bbox)
+    # each instance's entry holds its polygon at [0] (cv2-contour layout
+    # the reference unpacks via `coords[0]`)
+    aug = {
         "points": [np.array([[[0, 0]], [[64, 0]], [[64, 64]], [[0, 64]]],
-                            dtype=np.float32)],
-        "token_ids": np.array([3, 700]),
-        "bbox": np.array([0.0, 0.0, 64.0, 64.0]),
+                            dtype=np.float32)[None]],
+        "token_ids": np.array([[3, 700]]),
+        "bbox": np.array([[0.0, 0.0, 64.0, 64.0]]),
     }
-    sample = t.preprocess(np.array([[ [inst] ]], dtype=object)[0, 0])
+    sample = t.preprocess(np.array([aug], dtype=object))
     sample = t.image_augment(sample, crop_coords=(0, 0, 64, 64), flip=False,
                              orig_size=(64, 64), target_size=(64, 64),
                              rand_aug_idx=0)
-    s = t.postprocess([sample] if isinstance(sample, dict) else sample)
+    assert isinstance(sample, dict)  # one selected augmentation
+    s = t.postprocess(sample)
     assert "point" in s and "polygon" in s
     assert "v0=3" in s        # token < 512
     assert "v1=188" in s      # 700 - 512

@@ -254,6 +254,43 @@ def _convert_with_spec(sd, spec, domain):
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 
 
+def test_posemb_interpolation():
+    """Hub checkpoints carry pos_embed at the pretrain grid (DINOv2: 518px
+    -> 1+37^2 positions); the converter must interpolate to the spec grid."""
+    from egom2p_tpu.compat.torch_convert import _interp_posemb
+
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(1, 1 + 37 * 37, 8)).astype(np.float32)
+    out = _interp_posemb(arr, 1 + 16 * 16)
+    assert out.shape == (1, 257, 8)
+    np.testing.assert_allclose(out[:, 0], arr[:, 0])  # cls slot untouched
+    # a constant grid must stay constant under resampling
+    const = np.concatenate(
+        [arr[:, :1], np.full((1, 37 * 37, 8), 3.0, np.float32)], axis=1)
+    np.testing.assert_allclose(_interp_posemb(const, 1 + 16 * 16)[0, 1:],
+                               3.0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_dino_converter_interpolates_pretrain_posemb(monkeypatch):
+    """End-to-end: a torch checkpoint whose pos_embed grid is larger than
+    the spec's loads via interpolation instead of a shape error."""
+    import torch
+
+    from egom2p_tpu.compat.torch_convert import convert_teacher_state_dict
+
+    spec = _TINY_DINO  # image 16 / patch 8 -> grid 2 (1+4 positions)
+    tm = _torch_mini_dino(spec.width, spec.depth, spec.heads, spec.patch,
+                          32).eval()  # pretrain grid 4 (1+16 positions)
+    sd = {k: v for k, v in tm.state_dict().items()}
+    assert sd["pos_embed"].shape[1] == 17
+    params = _convert_with_spec(sd, spec, "DINOv2-B14")
+    assert params["params"]["pos_embed"].shape == (1, 5, spec.width)
+    x = jnp.zeros((1, 16, 16, 3))
+    out = ViTTeacher(spec).apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 # ------------------------------------------------------ feature VQ-VAE
 def test_feature_vqvae_roundtrip():
     from egom2p_tpu.tokenizers.feature_vqvae import feature_vqvae_from_config

@@ -157,3 +157,22 @@ def test_video_eval_metrics_keys():
     for key in ("mse", "mae", "psnr", "codebook_usage"):
         assert key in m and np.isfinite(m[key])
     assert "ms_ssim" not in m  # 32px is below the 5-scale MS-SSIM minimum
+
+
+def test_restore_state_seeds_ema_from_loaded_params():
+    """Resuming with --model_ema from a pre-EMA checkpoint must seed the EMA
+    tree from the restored weights, not keep the fresh random init."""
+    import jax.numpy as jnp
+
+    import run_training_vqvae as T
+    from egom2p_tpu.train.vqvae_train import VQVAETrainState
+
+    fresh = {"params": {"w": jnp.zeros(3)}}
+    state = VQVAETrainState(params=fresh, opt_state=(), vq_state=None,
+                            step=jnp.zeros((), jnp.int32),
+                            ema_params=jax.tree_util.tree_map(jnp.array,
+                                                              fresh))
+    restored_w = jnp.ones(3)
+    new = T._restore_state(state, {"params": {"params": {"w": restored_w}}})
+    np.testing.assert_array_equal(np.asarray(new.ema_params["params"]["w"]),
+                                  np.asarray(restored_w))
