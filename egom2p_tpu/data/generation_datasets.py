@@ -97,8 +97,10 @@ class PartiPromptsDataset:
             self.t5_embs = self.t5_masks = None
 
     def __getitem__(self, index):
-        seq_ids = (self.text_tokenizer.encode(self.prompts[index]).ids
-                   + [self.eos_id])[: self.max_length]
+        # truncate BEFORE appending EOS so the longest prompts still end
+        # with an end-of-sequence marker
+        seq_ids = (self.text_tokenizer.encode(self.prompts[index])
+                   .ids[: self.max_length - 1] + [self.eos_id])
         tensor = np.full(self.max_length, self.pad_id, np.int32)
         tensor[: len(seq_ids)] = seq_ids
         out = {"caption": {"tensor": tensor}}

@@ -32,7 +32,11 @@ def huggingface_samples(data_path: str, split: str = "train",
             os.path.exists(os.path.join(data_path, "dataset_info.json"))
             or os.path.exists(os.path.join(data_path, "dataset_dict.json"))):
         ds = hfds.load_from_disk(data_path)
-        if hasattr(ds, "keys") and split in getattr(ds, "keys", lambda: [])():
+        if hasattr(ds, "keys"):  # DatasetDict: the split must exist
+            if split not in ds.keys():
+                raise ValueError(
+                    f"split {split!r} not found in {data_path}; "
+                    f"available: {sorted(ds.keys())}")
             ds = ds[split]
         if streaming:
             ds = ds.to_iterable_dataset()

@@ -464,9 +464,14 @@ class MaskTransform(ImageTransform):
         p = self.mask_pool_size
         if p > 1:
             h, w = m.shape
-            pooled = m[:h - h % p, :w - w % p].reshape(
-                h // p, p, w // p, p).min(axis=(1, 3))
-            m = np.repeat(np.repeat(pooled, p, axis=0), p, axis=1)
+            # edge-pad to a multiple of p (pad with 1.0 = valid, the min
+            # pool's identity) so the output keeps the input's shape
+            ph, pw = -h % p, -w % p
+            if ph or pw:
+                m = np.pad(m, ((0, ph), (0, pw)), constant_values=1.0)
+            pooled = m.reshape((h + ph) // p, p,
+                               (w + pw) // p, p).min(axis=(1, 3))
+            m = np.repeat(np.repeat(pooled, p, axis=0), p, axis=1)[:h, :w]
         return m == 1.0
 
 
@@ -475,7 +480,7 @@ class TokTransform(AbstractTransform):
     (reference: modality_transforms.py:606-629)."""
 
     def load(self, path):
-        if "npz" in str(path):
+        if str(path).endswith(".npz"):
             return np.load(path)["arr_0"].astype(np.int64)
         return np.load(path).astype(np.int64)
 

@@ -47,7 +47,8 @@ def read_pose_txt(path: str) -> np.ndarray:
     with open(path) as f:
         for line in f.read().split("\n"):
             if not line:
-                break
+                break  # reference-exact: first empty line ends the file
+                       # (load_cam.py:40-41 treats it as "end of the lines")
             rows.append(list(map(float, line.strip().split("\t"))))
     return np.asarray(rows)[:, 2:].reshape(-1, 4, 4)
 

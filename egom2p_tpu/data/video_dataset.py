@@ -116,7 +116,19 @@ class VideoClipDataset:
     # -------------------------------------------------------------- loading
     def _load(self, path: str) -> np.ndarray:
         if self.use_npy or path.endswith(".npy"):
-            return np.load(path)
+            buf = np.load(path)
+            h, w = buf.shape[1:3]
+            if min(h, w) < self.crop_size:
+                # mp4s are pre-scaled by read_video; scale small npy clips
+                # up too so center_crop always yields crop_size frames
+                from scipy import ndimage
+                th = max(self.crop_size,
+                         int(np.ceil(h * self.crop_size / min(h, w))))
+                tw = max(self.crop_size,
+                         int(np.ceil(w * self.crop_size / min(h, w))))
+                buf = ndimage.zoom(buf, (1, th / h, tw / w)
+                                   + (1,) * (buf.ndim - 3), order=1)
+            return buf
         from egom2p_tpu.data.video_ingest import read_video
         return read_video(path, out_size=self.crop_size)
 

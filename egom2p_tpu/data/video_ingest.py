@@ -50,8 +50,11 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            # a deployed prebuilt .so without the C++ source is fine;
+            # staleness only applies when the source is present
             _build()
         lib = ctypes.CDLL(_SO)
         lib.vi_read_video.restype = ctypes.c_int

@@ -41,14 +41,20 @@ class TamingVectorQuantizer(nn.Module):
 
     def setup(self):
         bound = 1.0 / self.num_embeddings
+
+        def _uniform_sym(key, shape):
+            # torch nn.Embedding-style uniform [-1/n, 1/n) baked into the
+            # initializer so the stored param IS the codebook — torch
+            # checkpoints converted verbatim stay unshifted
+            return jax.random.uniform(key, shape, jnp.float32,
+                                      minval=-bound, maxval=bound)
+
         self.embedding = self.param(
-            "embedding", nn.initializers.uniform(scale=2 * bound),
+            "embedding", _uniform_sym,
             (self.num_embeddings, self.embedding_dim))
-        # uniform(scale) in flax is [0, scale); shift to [-bound, bound)
-        # handled in __call__ via (embedding - bound)
 
     def _codes(self):
-        return self.embedding - 1.0 / self.num_embeddings
+        return self.embedding
 
     def _norm(self, t):
         if not self.use_norm:

@@ -66,9 +66,12 @@ class DiscreteImageTokenizer(nn.Module):
         cfg = self.cfg
         self.encoder = Encoder2d(cfg)
         self.decoder = Decoder2d(cfg)
-        self.quant_conv = _conv2d(cfg.embedding_dim, kernel=1, padding=0)
-        self.post_quant_conv = _conv2d(cfg.z_channels, kernel=1, padding=0)
         q = cfg.quantizer
+        # LFQ consumes codebook_dim channels (one bit per channel); the
+        # other quantizers take embedding_dim latents
+        quant_ch = cfg.codebook_dim if q == "LFQ" else cfg.embedding_dim
+        self.quant_conv = _conv2d(quant_ch, kernel=1, padding=0)
+        self.post_quant_conv = _conv2d(cfg.z_channels, kernel=1, padding=0)
         if q == "FSQ":
             self.quantizer = FSQ(cfg.levels)
         elif q == "RESFSQ":

@@ -85,7 +85,10 @@ class AttnBlock2d(nn.Module):
         q = _conv2d(c, kernel=1, padding=0, name="q")(hid).reshape(b, h * w, c)
         k = _conv2d(c, kernel=1, padding=0, name="k")(hid).reshape(b, h * w, c)
         v = _conv2d(c, kernel=1, padding=0, name="v")(hid).reshape(b, h * w, c)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32)
+        # fp32 accumulation INSIDE the einsum: casting afterwards cannot
+        # recover precision once the scores were rounded to bf16
+        attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                          preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn * (c ** -0.5), axis=-1).astype(x.dtype)
         out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         return x + _conv2d(c, kernel=1, padding=0, name="proj_out")(out)

@@ -165,3 +165,15 @@ def test_tokenize_images_cli(tmp_path, monkeypatch):
         codes = np.load(out_dir / f"img_{i}_codes.npy")
         assert codes.ndim == 2
     assert (out_dir / "img_0_input.png").exists()
+
+
+def test_discrete_image_lfq_quantizer():
+    """LFQ consumes codebook_dim channels — quant_conv must emit that width
+    (regression: it used to emit embedding_dim and crash at trace time)."""
+    tok = _tiny_tokenizer(discrete=True, quantizer="LFQ", codebook_dim=10)
+    x = np.random.RandomState(0).uniform(-1, 1, (1, 32, 32, 3)).astype(
+        np.float32)
+    indices, codes = tok.encode(x)
+    assert int(np.asarray(indices).max()) < 2 ** 10
+    out = np.asarray(tok.autoencode(x))
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()

@@ -55,8 +55,7 @@ def test_taming_vq_parity_vs_reference():
             torch.from_numpy(z))
 
     emb = tq.embedding.weight.detach().numpy()
-    bound = 1.0 / 16
-    params = {"params": {"embedding": jnp.asarray(emb + bound)}}
+    params = {"params": {"embedding": jnp.asarray(emb)}}  # verbatim copy
     z_j = jnp.asarray(z.transpose(0, 2, 3, 1).reshape(2, 15, 4))
     z_q_j, loss_j, (ind_j, commit_j, emb_j, perp_j) = jq.apply(
         params, z_j, training=True)
