@@ -89,16 +89,8 @@ def load_main_model(args):
 
 
 def _dummy_mod_dict(batch):
-    md = {}
-    for m in MODS4:
-        L = MODALITY_INFO[m]["max_tokens"]
-        md[m] = {
-            "tensor": jnp.zeros((batch, L), jnp.int32),
-            "input_mask": jnp.ones((batch, L), bool),
-            "target_mask": jnp.zeros((batch, L), bool),
-            "decoder_attention_mask": jnp.zeros((batch, L), jnp.int32),
-        }
-    return md
+    from egom2p_tpu.compat.torch_convert import shape_mod_dict
+    return shape_mod_dict(MODS4, MODALITY_INFO, batch=batch)
 
 
 def load_video_tokenizer(args) -> CausalVideoTokenizer:
@@ -106,7 +98,15 @@ def load_video_tokenizer(args) -> CausalVideoTokenizer:
         return CausalVideoTokenizer.random_init(jax.random.PRNGKey(1))
     if args.video_tok_ckpt.endswith(".jit") or args.video_tok_ckpt.endswith(".pth"):
         from egom2p_tpu.compat.torch_convert import load_cosmos_dv_pth
-        return load_cosmos_dv_pth(args.video_tok_ckpt)
+        # Cosmos ships a split encoder.jit/decoder.jit pair — pick up the
+        # sibling decoder automatically when pointed at the encoder
+        dec = None
+        base = os.path.basename(args.video_tok_ckpt)
+        if "encoder" in base:
+            cand = os.path.join(os.path.dirname(args.video_tok_ckpt),
+                                base.replace("encoder", "decoder"))
+            dec = cand if os.path.exists(cand) else None
+        return load_cosmos_dv_pth(args.video_tok_ckpt, decoder_path=dec)
     params = load_checkpoint(args.video_tok_ckpt)
     return CausalVideoTokenizer(params)
 

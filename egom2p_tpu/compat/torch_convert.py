@@ -149,6 +149,21 @@ def read_pth_args(path: str):
     return ckpt.get("args")
 
 
+def shape_mod_dict(domains, info, batch: int = 1) -> Dict:
+    """Shape-only mod-dict for model.init / jax.eval_shape: one entry per
+    domain at its max_tokens length, with the four required mask keys."""
+    import jax.numpy as jnp
+
+    md = {}
+    for m in dict.fromkeys(domains):
+        L = info[m]["max_tokens"]
+        md[m] = {"tensor": jnp.zeros((batch, L), jnp.int32),
+                 "input_mask": jnp.ones((batch, L), bool),
+                 "target_mask": jnp.zeros((batch, L), bool),
+                 "decoder_attention_mask": jnp.zeros((batch, L), jnp.int32)}
+    return md
+
+
 def load_egom2p_pth(path: str, model) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -156,15 +171,13 @@ def load_egom2p_pth(path: str, model) -> Dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
-    # build a shape-only flax tree
+    # shape-only flax tree over the union of in/out domains: an output-only
+    # modality still owns decoder embeddings, which must appear in the
+    # shape tree to be converted
     from egom2p_tpu.data.modality_info import MODALITY_INFO
-    md = {}
-    for m in model.in_domains:
-        L = (model.mod_info if model.modality_info else MODALITY_INFO)[m]["max_tokens"]
-        md[m] = {"tensor": jnp.zeros((1, L), jnp.int32),
-                 "input_mask": jnp.ones((1, L), bool),
-                 "target_mask": jnp.zeros((1, L), bool),
-                 "decoder_attention_mask": jnp.zeros((1, L), jnp.int32)}
+    md = shape_mod_dict(tuple(model.in_domains) + tuple(model.out_domains),
+                        model.mod_info if model.modality_info
+                        else MODALITY_INFO)
     shapes = jax.eval_shape(lambda k: model.init(k, md, 64, 64),
                             jax.random.PRNGKey(0))
     converted = convert_egom2p_state_dict(sd, shapes, model.in_domains,

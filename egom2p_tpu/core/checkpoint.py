@@ -40,15 +40,16 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     if target is not None:
         return ocp.StandardCheckpointer().restore(path, target=target)
     import jax
-    ckptr = ocp.StandardCheckpointer()
+    import numpy as np
+    ckptr = ocp.PyTreeCheckpointer()
     meta = ckptr.metadata(path)
     tree = getattr(meta, "item_metadata", meta)
     tree = getattr(tree, "tree", tree)
-    shard = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
-    abstract = jax.tree_util.tree_map(
-        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype, sharding=shard),
-        tree)
-    return ckptr.restore(path, target=abstract)
+    # true host-numpy restore: a pod-sized TrainState must not be forced
+    # into one chip's HBM just to be inspected/converted
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:

@@ -30,29 +30,10 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from egom2p_tpu.core.metrics import _gaussian_window
-
+from egom2p_tpu.core.metrics import ssim_components as _ssim_components
 
 # ---------------------------------------------------------------- MS-SSIM
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
-
-
-def _ssim_components(a: np.ndarray, b: np.ndarray, data_range: float):
-    """Returns (luminance*contrast-structure term `ssim`, contrast-structure
-    term `cs`) maps for one 2-D image pair."""
-    from scipy.signal import fftconvolve
-
-    k = _gaussian_window()
-    c1 = (0.01 * data_range) ** 2
-    c2 = (0.03 * data_range) ** 2
-    mu_a = fftconvolve(a, k, mode="valid")
-    mu_b = fftconvolve(b, k, mode="valid")
-    var_a = fftconvolve(a * a, k, mode="valid") - mu_a ** 2
-    var_b = fftconvolve(b * b, k, mode="valid") - mu_b ** 2
-    cov = fftconvolve(a * b, k, mode="valid") - mu_a * mu_b
-    cs = (2 * cov + c2) / (var_a + var_b + c2)
-    ssim = ((2 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)) * cs
-    return ssim.mean(), cs.mean()
 
 
 def _downsample2(x: np.ndarray) -> np.ndarray:
@@ -232,6 +213,20 @@ def get_inception_fns():
     return _INCEPTION_CACHE[key]
 
 
+_LPIPS_CACHE: Dict = {}
+
+
+def get_lpips() -> Callable[[np.ndarray, np.ndarray], float]:
+    """Cached LPIPS metric — the VGG weight file loads once per process
+    instead of on every invocation."""
+    path = _require_weights("lpips_vgg.npz", "LPIPS")
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if key not in _LPIPS_CACHE:
+        _LPIPS_CACHE.clear()
+        _LPIPS_CACHE[key] = make_lpips()
+    return _LPIPS_CACHE[key]
+
+
 def make_fid(feature_fn: Optional[Callable] = None) -> FIDAccumulator:
     """FID accumulator; the default extractor is the JAX InceptionV3 pool3
     graph fed from ckpt/inception_v3.npz (core/inception_v3.py)."""
@@ -287,7 +282,7 @@ def register_default_perceptual_metrics() -> Dict[str, object]:
         "fid_from_features": fid_from_features,
         "inception_score_from_probs": inception_score_from_probs,
         "lpips_from_features": lpips_from_features,
-        "lpips": lambda p, t: make_lpips()(p, t),
+        "lpips": lambda p, t: get_lpips()(p, t),
     })
     return m.PERCEPTUAL_METRICS
 

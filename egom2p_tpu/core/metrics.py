@@ -39,11 +39,28 @@ def _gaussian_window(size=11, sigma=1.5):
     return k / k.sum()
 
 
+def ssim_components(a: np.ndarray, b: np.ndarray, data_range: float):
+    """Single 2-D image pair -> (mean SSIM, mean contrast-structure term).
+    The shared primitive for both single-scale SSIM and MS-SSIM (Wang et
+    al. 2003; the cs term feeds the multi-scale product)."""
+    from scipy.signal import fftconvolve  # scipy ships with the image stack
+
+    k = _gaussian_window()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a = fftconvolve(a, k, mode="valid")
+    mu_b = fftconvolve(b, k, mode="valid")
+    var_a = fftconvolve(a * a, k, mode="valid") - mu_a ** 2
+    var_b = fftconvolve(b * b, k, mode="valid") - mu_b ** 2
+    cov = fftconvolve(a * b, k, mode="valid") - mu_a * mu_b
+    cs = (2 * cov + c2) / (var_a + var_b + c2)
+    s = ((2 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)) * cs
+    return s.mean(), cs.mean()
+
+
 def ssim(pred, target, data_range: float = 2.0) -> float:
     """Per-image SSIM, averaged over batch/time/channels.
     pred/target: (..., H, W) or (..., H, W, C)."""
-    from scipy.signal import fftconvolve  # scipy ships with the image stack
-
     p = np.asarray(pred, dtype=np.float64)
     t = np.asarray(target, dtype=np.float64)
     if p.shape[-1] in (1, 3):  # channels-last -> move to leading
@@ -51,20 +68,8 @@ def ssim(pred, target, data_range: float = 2.0) -> float:
         t = np.moveaxis(t, -1, 0)
     p = p.reshape(-1, *p.shape[-2:])
     t = t.reshape(-1, *t.shape[-2:])
-    k = _gaussian_window()
-    c1 = (0.01 * data_range) ** 2
-    c2 = (0.03 * data_range) ** 2
-    vals = []
-    for a, b in zip(p, t):
-        mu_a = fftconvolve(a, k, mode="valid")
-        mu_b = fftconvolve(b, k, mode="valid")
-        var_a = fftconvolve(a * a, k, mode="valid") - mu_a ** 2
-        var_b = fftconvolve(b * b, k, mode="valid") - mu_b ** 2
-        cov = fftconvolve(a * b, k, mode="valid") - mu_a * mu_b
-        s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
-            (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
-        vals.append(s.mean())
-    return float(np.mean(vals))
+    return float(np.mean([ssim_components(a, b, data_range)[0]
+                          for a, b in zip(p, t)]))
 
 
 def codebook_usage(tokens, codebook_size: int, window: Optional[int] = None) -> float:

@@ -14,16 +14,14 @@ import optax
 
 
 def _no_decay(path, value) -> bool:
-    """Match the reference skip rule: norm params, biases, 1D tensors,
-    modality / mask / register embeddings (reference: optim_factory.py:113-115)."""
+    """Match the reference skip rule: ONLY norm params and biases go
+    undecayed (reference: optim_factory.py:113-115 — "Only norm and bias
+    terms should have no decay"; the model's no_weight_decay() sets are all
+    empty, so mod_emb / mask_token / register_tokens ARE decayed)."""
     name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
-    if value.ndim <= 1:
+    if value.ndim <= 1:  # biases + norm scales (1D, like the pre-FSDP rule)
         return True
-    if "norm" in name or name.endswith("bias"):
-        return True
-    if "mod_emb" in name or "mask_token" in name or "register_tokens" in name:
-        return True
-    return False
+    return "norm" in name or name.endswith("bias")
 
 
 def make_decay_mask(params):
@@ -51,35 +49,51 @@ def create_optimizer(params, lr_schedule, weight_decay: float = 0.05,
 
 
 def shared_params_mask(params):
-    """True for the shared transformer trunk (encoder/decoder blocks, norms,
-    context projection) -- the set the reference freezes during warm-start
-    phases (reference: egom2p_model.py:805-815, freeze_shared_params)."""
+    """True for the shared transformer trunk (encoder/decoder blocks and
+    final norms) -- exactly the set the reference freezes during warm-start
+    phases (reference: egom2p_model.py:805-807, freeze_shared_params ->
+    freeze_encoder/decoder(freeze_embeddings=False); decoder_proj_context
+    is a model-level Linear outside those sets and stays trainable)."""
     import jax
     import re
 
     def is_shared(path, _):
         name = str(path[1].key) if len(path) > 1 else ""
         return bool(re.fullmatch(
-            r"(encoder|decoder)_\d+|encoder_norm|decoder_norm|"
-            r"decoder_proj_context", name))
+            r"(encoder|decoder)_\d+|encoder_norm|decoder_norm", name))
 
     return jax.tree_util.tree_map_with_path(is_shared, params)
 
 
-def freeze_until(frozen_steps: int, frozen_mask) -> optax.GradientTransformation:
-    """Zero the updates of masked params while step < frozen_steps
-    (reference frozen-model phases: run_training_egom2p.py:686-693)."""
+def freeze_until(frozen_steps: int, frozen_mask,
+                 inner: optax.GradientTransformation
+                 ) -> optax.GradientTransformation:
+    """Freeze masked params while step < frozen_steps, wrapping `inner`
+    (reference frozen-model phases: run_training_egom2p.py:686-693).
+
+    Matches the reference's requires_grad=False semantics: masked GRADIENTS
+    are zeroed BEFORE `inner`, so global-norm clipping sees only trainable
+    gradients and Adam moments stay at init for frozen params — and masked
+    UPDATES are zeroed AFTER `inner`, so weight decay does not move frozen
+    params either (the reference never even adds them to the optimizer)."""
     import jax
     import jax.numpy as jnp
 
     def init_fn(params):
-        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+        return (jnp.zeros([], jnp.int32), inner.init(params))
 
     def update_fn(updates, state, params=None):
-        keep = (state.count >= frozen_steps).astype(jnp.float32)
-        new = jax.tree_util.tree_map(
-            lambda u, frozen: u * keep if frozen else u, updates, frozen_mask)
-        return new, optax.ScaleByScheduleState(count=state.count + 1)
+        count, inner_state = state
+        keep = (count >= frozen_steps).astype(jnp.float32)
+
+        def gate(tree):
+            return jax.tree_util.tree_map(
+                lambda u, frozen: u * keep if frozen else u, tree,
+                frozen_mask)
+
+        new_updates, new_inner = inner.update(gate(updates), inner_state,
+                                              params)
+        return gate(new_updates), (count + 1, new_inner)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -143,13 +143,14 @@ def _video_metrics_stream(tok, data, domain: str, batch_size: int,
     from egom2p_tpu.core.image_metrics import (MissingPretrainedWeights,
                                                fid_from_features,
                                                get_inception_fns,
+                                               get_lpips,
                                                inception_score_from_probs,
-                                               make_lpips, ms_ssim)
+                                               ms_ssim)
 
     lpips = inception = None
     if domain == "rgb":
         try:
-            lpips = make_lpips()
+            lpips = get_lpips()
         except (MissingPretrainedWeights, NotImplementedError):
             pass
         try:

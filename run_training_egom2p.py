@@ -438,12 +438,11 @@ def main(args):
                                  betas=tuple(args.opt_betas),
                                  clip_grad=args.clip_grad)
     if args.frozen_model_epochs > 0:
-        import optax
         from egom2p_tpu.core.optim import freeze_until, shared_params_mask
-        optimizer = optax.chain(
-            optimizer,
-            freeze_until(args.frozen_model_epochs * niter_per_ep,
-                         shared_params_mask(params)))
+        # wraps the optimizer: frozen grads are zeroed before clipping/Adam
+        # and frozen updates after decay (reference requires_grad semantics)
+        optimizer = freeze_until(args.frozen_model_epochs * niter_per_ep,
+                                 shared_params_mask(params), optimizer)
     state = init_train_state(params, optimizer)
 
     start_epoch = 0

@@ -56,13 +56,18 @@ def test_freeze_until():
     from egom2p_tpu.core.optim import freeze_until
     params = {"trunk": jnp.ones(3), "emb": jnp.ones(3)}
     mask = {"trunk": True, "emb": False}
-    tx = optax.chain(optax.sgd(1.0), freeze_until(2, mask))
+    inner = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1.0))
+    tx = freeze_until(2, mask, inner)
     state = tx.init(params)
-    g = {"trunk": jnp.ones(3), "emb": jnp.ones(3)}
+    g = {"trunk": jnp.full(3, 100.0), "emb": jnp.ones(3)}
     for step in range(3):
         updates, state = tx.update(g, state, params)
         if step < 2:
             assert float(jnp.abs(updates["trunk"]).max()) == 0.0
+            # frozen grads are zeroed BEFORE clipping: the huge trunk grad
+            # must not crush the trainable update (reference computes the
+            # norm over trainable params only)
+            assert float(jnp.abs(updates["emb"]).max()) > 0.5
         else:
             assert float(jnp.abs(updates["trunk"]).max()) > 0.0
         assert float(jnp.abs(updates["emb"]).max()) > 0.0
@@ -83,6 +88,9 @@ def test_shared_params_mask():
     unfrozen = [p for p, v in flat if not v]
     assert any("encoder_0" in str(p) for p in frozen)
     assert any("mod_emb" in str(p) or "embeddings" in str(p) for p in unfrozen)
+    # decoder_proj_context stays trainable (reference freeze_shared_params
+    # only freezes encoder/decoder blocks + norms, egom2p_model.py:805-807)
+    assert all("decoder_proj_context" not in str(p) for p in frozen)
 
 
 @pytest.mark.slow
