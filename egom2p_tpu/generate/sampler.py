@@ -77,13 +77,23 @@ def init_empty_target_modality(mod_dict, modality_info, domain, batch_size,
         empty_img_modality(mod_dict[domain])
     elif modality_info[domain]["type"] in SEQ_TYPES:
         num_tokens = max(num_tokens, 2)
+        is_emb = modality_info[domain]["type"] == "seq_emb"
+        # seq_emb carries float embeddings, not token ids; allocate the
+        # (B, N, E) tensor the embedder expects (the reference zeroes an
+        # existing tensor via zeros_like, generate.py:66-67)
+        tensor = (np.zeros((batch_size, num_tokens,
+                            modality_info[domain].get("orig_emb_dim", 4096)),
+                           dtype=np.float32) if is_emb
+                  else np.zeros((batch_size, num_tokens), dtype=np.int32))
         mod_dict[domain] = {
-            "tensor": np.zeros((batch_size, num_tokens), dtype=np.int32),
+            "tensor": tensor,
             "input_mask": np.ones((batch_size, num_tokens), dtype=bool),
             "target_mask": np.zeros((batch_size, num_tokens), dtype=bool),
             "decoder_attention_mask": np.zeros((batch_size, num_tokens), dtype=np.int32),
         }
-        empty_seq_modality(mod_dict[domain])
+        # seq_emb -> empty_seq_emb_modality (reference: generate.py:108-111)
+        (empty_seq_emb_modality if is_emb
+         else empty_seq_modality)(mod_dict[domain])
     else:
         raise ValueError(domain)
     return mod_dict

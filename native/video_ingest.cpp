@@ -53,7 +53,10 @@ struct Reader {
 };
 
 // Convert + center-square-crop + scale one decoded frame into dst (RGB24).
-int convert_frame(const AVFrame* frame, uint8_t* dst, int out_w, int out_h) {
+// `sws_cache` keeps one SwsContext alive across frames of a clip (geometry
+// is constant per file): sws_getCachedContext rebuilds only on a change.
+int convert_frame(const AVFrame* frame, uint8_t* dst, int out_w, int out_h,
+                  SwsContext** sws_cache) {
   int side = frame->width < frame->height ? frame->width : frame->height;
   int x0 = (frame->width - side) / 2;
   int y0 = (frame->height - side) / 2;
@@ -72,21 +75,26 @@ int convert_frame(const AVFrame* frame, uint8_t* dst, int out_w, int out_h) {
   for (int p = 0; p < 4 && crop->data[p]; ++p) {
     int shift_x = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
     int shift_y = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
-    crop->data[p] += (y0 >> shift_y) * crop->linesize[p] + (x0 >> shift_x);
+    // horizontal offset is in BYTES: comp.step covers multi-byte samples
+    // (yuv420p10le) and packed-chroma layouts (NV12's interleaved UV)
+    int step = desc->comp[p < desc->nb_components ? p : 0].step;
+    if (step < 1) step = 1;
+    crop->data[p] += (y0 >> shift_y) * crop->linesize[p]
+                     + static_cast<ptrdiff_t>(x0 >> shift_x) * step;
   }
 
-  SwsContext* sws = sws_getContext(
-      crop->width, crop->height, static_cast<AVPixelFormat>(frame->format),
-      out_w, out_h, AV_PIX_FMT_RGB24, SWS_LANCZOS, nullptr, nullptr, nullptr);
-  if (!sws) {
+  *sws_cache = sws_getCachedContext(
+      *sws_cache, crop->width, crop->height,
+      static_cast<AVPixelFormat>(frame->format), out_w, out_h,
+      AV_PIX_FMT_RGB24, SWS_LANCZOS, nullptr, nullptr, nullptr);
+  if (!*sws_cache) {
     av_frame_free(&crop);
     return -2;
   }
   uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
   int dst_linesize[4] = {out_w * 3, 0, 0, 0};
-  sws_scale(sws, crop->data, crop->linesize, 0, crop->height, dst_data,
+  sws_scale(*sws_cache, crop->data, crop->linesize, 0, crop->height, dst_data,
             dst_linesize);
-  sws_freeContext(sws);
   av_frame_free(&crop);
   return 0;
 }
@@ -113,6 +121,7 @@ int vi_read_video(const char* path, int out_w, int out_h, double target_fps,
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
+  SwsContext* sws_cache = nullptr;
   int n_out = 0;
   double next_tick = -1.0;  // emission time of the next output frame
   double first_pts = -1.0;
@@ -120,7 +129,8 @@ int vi_read_video(const char* path, int out_w, int out_h, double target_fps,
 
   auto emit = [&](const AVFrame* f) -> int {
     out.resize(out.size() + frame_bytes);
-    int c = convert_frame(f, out.data() + out.size() - frame_bytes, out_w, out_h);
+    int c = convert_frame(f, out.data() + out.size() - frame_bytes, out_w,
+                          out_h, &sws_cache);
     if (c != 0) return c;
     ++n_out;
     return 0;
@@ -168,6 +178,7 @@ int vi_read_video(const char* path, int out_w, int out_h, double target_fps,
   }
   av_packet_free(&pkt);
   av_frame_free(&frame);
+  if (sws_cache) sws_freeContext(sws_cache);
 
   if (n_out == 0) return -10;
   uint8_t* buf = static_cast<uint8_t*>(malloc(out.size()));

@@ -112,6 +112,29 @@ def get_args(argv=None):
     return parse_args_with_config(p, argv)
 
 
+def expand_modality_shards(path: str, mod_info, fallback_name: str):
+    """Expand '[rgb,depth]/.../shard-{000..195}.tar' into per-modality
+    aligned shard lists, split across processes (shared by the train and
+    val loaders so the two stay in sync)."""
+    import re
+
+    import jax
+    from egom2p_tpu.data.tar_reader import braceexpand, shard_split
+
+    m = re.search(r"\[([^\]]+)\]", path)
+    mods_in_path = m.group(1).split(",") if m else [""]
+    per_mod = {}
+    for mp in mods_in_path:
+        expanded = braceexpand(
+            path.replace(f"[{m.group(1)}]", mp) if m else path)
+        # modality key: match tok_<name> by path component
+        mod_key = next((k for k, v in mod_info.items()
+                        if v.get("path") == mp), mp or fallback_name)
+        per_mod[mod_key] = shard_split(expanded, jax.process_index(),
+                                       jax.process_count())
+    return per_mod
+
+
 def setup_data(args, mesh):
     """Build the train mixture loader (reference: run_training_egom2p.py:256-351)."""
     from egom2p_tpu.core.config import load_data_config, setup_sampling_mod_info
@@ -193,22 +216,8 @@ def setup_data(args, mesh):
 
                 streams.append(DatasetStream(name, hf_factory, masking))
                 continue
-            # expand '[rgb,depth]/..../shard-{000..195}.tar' into per-modality
-            # aligned shard lists
-            path = dcfg["data_path"]
-            import re as _re
-            m = _re.search(r"\[([^\]]+)\]", path)
-            mods_in_path = m.group(1).split(",") if m else [""]
-            per_mod = {}
-            for mp in mods_in_path:
-                expanded = braceexpand(
-                    path.replace(f"[{m.group(1)}]", mp) if m else path)
-                # modality key: match tok_<name> by path component
-                mod_key = next((k for k, v in mod_info.items()
-                                if v.get("path") == mp), mp or name)
-                import jax as _jax
-                per_mod[mod_key] = shard_split(
-                    expanded, _jax.process_index(), _jax.process_count())
+            per_mod = expand_modality_shards(dcfg["data_path"], mod_info,
+                                             name)
             n_rep = dcfg.get("wds_n_repeats", 1)
             buf = dcfg.get("wds_shuffle_buffer_tar", 1000)
             pyr = pyrandom.Random(args.seed)
@@ -252,8 +261,7 @@ def setup_val_data(args, mesh):
     from egom2p_tpu.core.mesh import num_data_shards
     from egom2p_tpu.data.mixture import DatasetStream, MixtureLoader
     from egom2p_tpu.data.modality_info import MODALITY_INFO
-    from egom2p_tpu.data.tar_reader import (braceexpand,
-                                            multi_tarfile_samples, shard_split)
+    from egom2p_tpu.data.tar_reader import multi_tarfile_samples
     from egom2p_tpu.masking.unified import UnifiedMasking
 
     batch = args.batch_size * num_data_shards(mesh)
@@ -312,28 +320,15 @@ def setup_val_data(args, mesh):
     dc = load_data_config(args.data_config)
     if "val" not in dc:
         return {}, {}
-    import re as _re
-
-    import jax as _jax
     train_cfgs = dc.get("train", {}).get("datasets", {})
     for name, dcfg in dc["val"]["datasets"].items():
         base = dict(train_cfgs.get(name, {}))
         base.update({k: v for k, v in dcfg.items() if v is not None})
         mod_info, sampling_weights = setup_sampling_mod_info(base, MODALITY_INFO)
-        path = base["data_path"]
-        m = _re.search(r"\[([^\]]+)\]", path)
-        mods_in_path = m.group(1).split(",") if m else [""]
-        per_mod = {}
-        for mp in mods_in_path:
-            expanded = braceexpand(
-                path.replace(f"[{m.group(1)}]", mp) if m else path)
-            mod_key = next((k for k, v in mod_info.items()
-                            if v.get("path") == mp), mp or name)
-            per_mod[mod_key] = shard_split(expanded, _jax.process_index(),
-                                           _jax.process_count())
+        per_mod = expand_modality_shards(base["data_path"], mod_info, name)
 
         def make_factory(per_mod=per_mod, mod_info=mod_info,
-                         sw=sampling_weights, fixed=False):
+                         sw=sampling_weights, fixed=False, name=name):
             def factory():
                 # sequential, non-shuffled, single pass over held-out shards
                 s = DatasetStream(name,

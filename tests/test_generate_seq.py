@@ -249,3 +249,22 @@ def test_seq_emb_cfg_generation(seq_emb_setup, scheme):
     out_ng = sampler.generate(mod_dict, schedule_ng, top_p=0.8, seed=0)
     assert not np.array_equal(np.asarray(d["tensor"]),
                               np.asarray(out_ng["tok_depth"]["tensor"]))
+
+
+def test_init_empty_target_seq_emb_routes_to_emb_helper():
+    """seq_emb domains get a zeroed float (B, N, E) embedding tensor with
+    empty_seq_emb_modality's mask semantics (reference: generate.py:108-111
+    routes seq_emb to empty_seq_emb_modality, not empty_seq_modality)."""
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+
+    mod_dict = {}
+    init_empty_target_modality(mod_dict, MODALITY_INFO, "t5_caption", 2, 8)
+    d = mod_dict["t5_caption"]
+    assert d["tensor"].shape == (2, 8, 4096)
+    assert d["tensor"].dtype == np.float32
+    assert (d["tensor"] == 0).all()
+    # CFG-critical mask layout: one live slot, everything else masked
+    assert not d["input_mask"][:, 0].any()
+    assert d["input_mask"][:, 1:].all()
+    assert d["target_mask"].all()
+    assert (d["decoder_attention_mask"] == 0).all()

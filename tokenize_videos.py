@@ -6,7 +6,8 @@ Equivalent of the reference batch tokenizer CLI
 directories) of mp4 clips, applies the standard EgoM2P preprocessing
 (fps resample to 8, center square crop, Lanczos scale to 256) with the native
 ingest library, tokenizes with the Cosmos DV4x8x8 tokenizer in batched
-17-frame windows, and writes `.npz` int16 token members into output tars.
+17-frame windows, and writes `.npz` int32 token members into output tars
+(int32: the DV codebook has 64k entries, see the note at the write site).
 
 The reference forks one process per GPU; here one TPU chip streams batches
 with host-side decode overlapped via a prefetch thread.
