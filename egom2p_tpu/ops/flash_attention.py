@@ -36,7 +36,21 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
+_FLASH_DISABLED = False
+
+
+def disable_flash(disabled: bool = True) -> None:
+    """Force the dense/XLA attention path even on TPU.  Needed under
+    tensor parallelism: GSPMD cannot partition a Pallas custom call, so a
+    model-axis-sharded train step must trace without the flash kernels
+    (jit_train_step(tp=True) callers set this before tracing)."""
+    global _FLASH_DISABLED
+    _FLASH_DISABLED = disabled
+
+
 def supports_flash() -> bool:
+    if _FLASH_DISABLED:
+        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover

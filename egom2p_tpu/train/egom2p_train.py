@@ -131,26 +131,68 @@ def fsdp_spec(shape, n_shard: int, min_size: int = 2 ** 16) -> P:
     return REPLICATED_SPEC
 
 
+# column-parallel projections (output dim over 'model') and row-parallel
+# reductions (input dim over 'model'), Megatron-style.  GSPMD keeps ANY
+# choice semantically exact — these rules only decide where the collectives
+# land; kernels are matched by the flax param-path suffix.
+_TP_COLUMN = ("qkv", "q", "kv", "fc1", "fc3")
+_TP_ROW = ("proj", "fc2")
+
+
+def tp_spec(path, shape, n_shard: int) -> P:
+    """Tensor-parallel sharding rule for one parameter (by path suffix).
+
+    The reference has no tensor parallelism (SURVEY.md §2.5); this exceeds
+    it with the standard TPU recipe: annotate shardings, let XLA insert the
+    all-reduces over ICI.  Vocab-parallel token embeddings shard the 64k
+    tables and (via weight tying) the logit heads — the CE logsumexp's psum
+    over the vocab shards is inserted by the partitioner."""
+    name = "/".join(str(getattr(p, "key", p)) for p in path)
+    parts = name.split("/")
+    leaf, mod = parts[-1], (parts[-2] if len(parts) > 1 else "")
+    if leaf == "kernel":
+        if mod in _TP_COLUMN and shape[-1] % n_shard == 0:
+            return P(*([None] * (len(shape) - 1) + ["model"]))
+        if mod in _TP_ROW and shape[0] % n_shard == 0:
+            return P(*(["model"] + [None] * (len(shape) - 1)))
+    elif leaf == "bias" and mod in _TP_COLUMN and shape[0] % n_shard == 0:
+        return P("model")
+    elif leaf == "token_emb" and shape[0] % n_shard == 0:
+        return P("model", None)
+    return REPLICATED_SPEC
+
+
 def state_shardings(mesh: Mesh, state: TrainState,
-                    fsdp: bool = False) -> TrainState:
+                    fsdp: bool = False, tp: bool = False) -> TrainState:
     """Param/optimizer-state shardings.
 
-    fsdp=False: fully replicated (pure data parallelism — the only
-    model-training parallelism the reference uses, SURVEY.md §2.5).
+    fsdp=False, tp=False: fully replicated (pure data parallelism — the
+    only model-training parallelism the reference uses, SURVEY.md §2.5).
     fsdp=True : params AND optimizer moments sharded over the data axis by
-    fsdp_spec; gradients reduce-scatter and weights all-gather implicitly."""
+    fsdp_spec; gradients reduce-scatter and weights all-gather implicitly.
+    tp=True   : tensor parallelism over the 'model' mesh axis by tp_spec;
+    params the rule leaves replicated fall back to fsdp_spec when fsdp is
+    also set (TP x ZeRO).  Optimizer moments mirror the param tree inside
+    the optax state, so the same path-suffix rules bind them too."""
     repl = NamedSharding(mesh, REPLICATED_SPEC)
-    if not fsdp:
+    if not fsdp and not tp:
         return jax.tree_util.tree_map(lambda _: repl, state)
-    n_shard = mesh.shape["data"]
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
 
-    def leaf_sharding(x):
+    def leaf_sharding(path, x):
         shape = getattr(x, "shape", ())
         if not shape:
             return repl
-        return NamedSharding(mesh, fsdp_spec(shape, n_shard))
+        if tp and n_model > 1:
+            spec = tp_spec(path, shape, n_model)
+            if spec != REPLICATED_SPEC:
+                return NamedSharding(mesh, spec)
+        if fsdp:
+            return NamedSharding(mesh, fsdp_spec(shape, n_data))
+        return repl
 
-    return jax.tree_util.tree_map(leaf_sharding, state)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
 
 def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
@@ -159,9 +201,14 @@ def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
 
 
 def jit_train_step(mesh: Mesh, train_step, state: TrainState, batch: Dict,
-                   fsdp: bool = False):
-    """Jit the step with explicit in/out shardings over the mesh."""
-    st_sh = state_shardings(mesh, state, fsdp=fsdp)
+                   fsdp: bool = False, tp: bool = False):
+    """Jit the step with explicit in/out shardings over the mesh.
+
+    tp=True requires a mesh with model-axis size > 1; on real TPU also
+    disable the Pallas flash path (ops/flash_attention.disable_flash) —
+    GSPMD cannot partition a custom call, so TP attention runs on XLA's
+    native fused attention instead."""
+    st_sh = state_shardings(mesh, state, fsdp=fsdp, tp=tp)
     b_sh = batch_shardings(mesh, batch)
     repl = NamedSharding(mesh, REPLICATED_SPEC)
     metrics_sh = None  # let the compiler pick (scalars)

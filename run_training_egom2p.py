@@ -42,6 +42,12 @@ def get_args(argv=None):
                    help="shard params + optimizer moments over the data "
                         "axis (ZeRO-style; reference ships unused FSDP "
                         "plumbing, fsdp_utils.py:33-116)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="model-axis size for Megatron-style tensor "
+                        "parallelism (exceeds the reference, which is "
+                        "DP-only); composes with --fsdp (TP x ZeRO). "
+                        "TP>1 runs attention on the XLA path (the Pallas "
+                        "flash custom call cannot be GSPMD-partitioned)")
     p.add_argument("--use_act_checkpoint", type=str2bool, default=True,
                    help="rematerialize blocks in backward (needed at batch>=8 "
                         "on 16GB chips)")
@@ -369,7 +375,13 @@ def main(args):
                                                jit_train_step, make_train_step)
 
     enable_persistent_cache()
-    mesh = make_mesh()
+    if args.tensor_parallel > 1:
+        from egom2p_tpu.core.mesh import MeshConfig
+        from egom2p_tpu.ops.flash_attention import disable_flash
+        disable_flash()  # Pallas custom calls can't be GSPMD-partitioned
+        mesh = make_mesh(MeshConfig(model=args.tensor_parallel))
+    else:
+        mesh = make_mesh()
     world = num_data_shards(mesh)
     global_batch = args.batch_size * world * args.accum_steps
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
@@ -452,7 +464,7 @@ def main(args):
                               args.num_target_tokens, args.loss_type,
                               accum_steps=args.accum_steps)
     jstep = jit_train_step(mesh, step_fn, state, first_batch,
-                           fsdp=args.fsdp)
+                           fsdp=args.fsdp, tp=args.tensor_parallel > 1)
 
     jsonl = JsonlLogger(args.output_dir)
     wandb_logger = WandbLogger(args) if args.log_wandb else None

@@ -181,3 +181,86 @@ def test_fsdp_actually_shards_large_params():
     assert fsdp_spec((768, 2048), 8) == P(None, "data")
     assert fsdp_spec((7,), 8) == P()          # too small
     assert fsdp_spec((130001, 3), 8) == P()   # no divisible dim
+
+
+def test_tensor_parallel_matches_replicated():
+    """Megatron-style TP (model axis 2, tp_spec column/row/vocab-parallel
+    params) must reproduce the replicated-DP step: sharding annotations only
+    change layout, XLA inserts the collectives (SURVEY.md §7 recipe)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _make_batch
+    from egom2p_tpu.core.mesh import MeshConfig, make_mesh
+    from egom2p_tpu.core.optim import create_optimizer
+    from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler
+    from egom2p_tpu.data.modality_info import make_scaled_modality_info
+    from egom2p_tpu.models.egom2p import create_model
+    from egom2p_tpu.train.egom2p_train import (init_train_state,
+                                               jit_train_step,
+                                               make_train_step, tp_spec)
+
+    mods = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+    info = make_scaled_modality_info()
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=mods, out_domains=mods,
+                         modality_info=info)
+    batch = _make_batch(8, mods, info, 24, 24)
+    params = model.init(jax.random.PRNGKey(0), batch, 24, 24)
+    sched = as_optax_schedule(cosine_scheduler(1e-3, 0.0, 1, 4))
+    rng = jax.random.PRNGKey(7)
+
+    from jax.sharding import NamedSharding
+    from egom2p_tpu.core.mesh import BATCH_SPEC, REPLICATED_SPEC
+    from egom2p_tpu.train.egom2p_train import tp_spec as _tp_spec
+
+    def loss_fn(p, b):
+        loss, _ = model.apply(p, b, 24, 24, "mod")
+        return loss
+
+    results = {}
+    for tp in (False, True):
+        mesh = make_mesh(MeshConfig(replica=1, data=-1,
+                                    model=2 if tp else 1))
+
+        def p_shard(path, x):
+            spec = (_tp_spec(path, x.shape, 2)
+                    if tp and getattr(x, "ndim", 0) else REPLICATED_SPEC)
+            return NamedSharding(mesh, spec)
+
+        p = jax.device_put(params,
+                           jax.tree_util.tree_map_with_path(p_shard, params))
+        b = jax.device_put(batch, NamedSharding(mesh, BATCH_SPEC))
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(p, b)
+        results[tp] = (float(loss),
+                       jax.tree_util.tree_map(np.asarray, grads))
+
+    # loss and RAW gradients must agree — comparing post-Adam params would
+    # amplify reduction-order eps to a full lr step on near-zero-grad params
+    np.testing.assert_allclose(results[False][0], results[True][0],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(results[False][1]),
+                    jax.tree_util.tree_leaves(results[True][1])):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+    # the full optimizer step also runs sharded (smoke: finite loss)
+    mesh = make_mesh(MeshConfig(replica=1, data=-1, model=2))
+    p = jax.tree_util.tree_map(jnp.array, params)
+    optimizer = create_optimizer(p, sched, weight_decay=0.05, clip_grad=1.0)
+    state = init_train_state(p, optimizer)
+    step = make_train_step(model, optimizer, 24, 24, "mod")
+    jstep = jit_train_step(mesh, step, state, batch, tp=True)
+    _, metrics = jstep(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # the rule actually shards the big tensors on the model axis
+    from jax.tree_util import tree_leaves_with_path
+    specs = {"/".join(str(getattr(s, "key", s)) for s in path):
+             tp_spec(path, leaf.shape, 2)
+             for path, leaf in tree_leaves_with_path(params)
+             if hasattr(leaf, "shape") and leaf.ndim >= 1}
+    sharded = [k for k, v in specs.items() if "model" in str(v)]
+    assert any("qkv/kernel" in k for k in sharded), sharded[:5]
+    assert any("fc2/kernel" in k for k in sharded)
+    assert any("token_emb" in k for k in sharded)
