@@ -95,6 +95,9 @@ def _dummy_mod_dict(batch):
 
 def load_video_tokenizer(args) -> CausalVideoTokenizer:
     if args.smoke or not os.path.exists(args.video_tok_ckpt):
+        if not args.smoke:
+            print(f"[warn] video tokenizer ckpt {args.video_tok_ckpt} "
+                  f"missing: RANDOM weights (outputs are not meaningful)")
         return CausalVideoTokenizer.random_init(jax.random.PRNGKey(1))
     if args.video_tok_ckpt.endswith(".jit") or args.video_tok_ckpt.endswith(".pth"):
         from egom2p_tpu.compat.torch_convert import load_cosmos_dv_pth
@@ -115,6 +118,9 @@ def load_seq_tokenizer(args, domain: str):
     ckpt = args.cam_tok_ckpt if domain == "cam" else args.gaze_tok_ckpt
     tok = seq_vqvae_from_config(domain, jax.random.PRNGKey(2))
     if args.smoke or not os.path.exists(ckpt):
+        if not args.smoke:
+            print(f"[warn] {domain} tokenizer ckpt {ckpt} missing: RANDOM "
+                  f"weights (outputs are not meaningful)")
         return tok
     if ckpt.endswith(".pth"):
         from egom2p_tpu.compat.torch_convert import load_seq_vqvae_pth
@@ -140,9 +146,7 @@ def run_task(task: str, cond_domain: str, target_domain: str,
     # decode a video target; rgb2cam/rgb2gaze condition on pre-tokenized npz
     # (the reference likewise comments the video tokenizer out there,
     # eval_model_rgb2cam.py) — skipping it saves its whole load/convert.
-    needs_video = (target_domain in ("tok_rgb", "tok_depth")
-                   or (cond_domain, target_domain) in
-                   (("tok_rgb", "tok_depth"), ("tok_depth", "tok_rgb")))
+    needs_video = target_domain in ("tok_rgb", "tok_depth")
     if needs_video:
         tokenizers["tok_vid"] = load_video_tokenizer(args)
     if target_domain == "tok_cam":

@@ -140,13 +140,29 @@ def convert_egom2p_state_dict(sd: Dict, flax_params: Dict,
     return {"params": _unflatten(out)}
 
 
+_PTH_CACHE: Dict = {}
+
+
+def _load_pth_cached(path: str):
+    """One torch.load per file: eval scripts read the embedded args and then
+    the weights from the same multi-GB .pth — deserializing twice doubles
+    load time and peak host memory."""
+    import os
+
+    import torch
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if key not in _PTH_CACHE:
+        _PTH_CACHE.clear()
+        _PTH_CACHE[key] = torch.load(path, map_location="cpu",
+                                     weights_only=False)
+    return _PTH_CACHE[key]
+
+
 def read_pth_args(path: str):
     """The reference pickles the full argparse namespace inside .pth
     checkpoints (reference: checkpoint.py:100-105); eval scripts rebuild the
     model from it (eval_model_rgb2cam.py:33-35)."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    return ckpt.get("args")
+    return _load_pth_cached(path).get("args")
 
 
 def shape_mod_dict(domains, info, batch: int = 1) -> Dict:
@@ -167,9 +183,8 @@ def shape_mod_dict(domains, info, batch: int = 1) -> Dict:
 def load_egom2p_pth(path: str, model) -> Dict:
     import jax
     import jax.numpy as jnp
-    import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _load_pth_cached(path)
     sd = ckpt.get("model", ckpt)
     # shape-only flax tree over the union of in/out domains: an output-only
     # modality still owns decoder embeddings, which must appear in the

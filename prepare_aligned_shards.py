@@ -43,11 +43,22 @@ def main():
     per_mod_files = {}
     for mod, d in mods.items():
         files = {}
-        for f in glob.glob(os.path.join(d, "*")):
+        collisions = []
+        for f in sorted(glob.glob(os.path.join(d, "*"))):
             base = os.path.basename(f)
             if "." not in base:
                 continue
-            files[base.split(".", 1)[0]] = f
+            key = base.split(".", 1)[0]
+            if key in files:  # e.g. clip1.npz next to clip1.npy: which file
+                collisions.append((key, files[key], f))  # wins would be
+                continue                                 # filesystem luck
+            files[key] = f
+        if collisions:
+            k, a, b = collisions[0]
+            raise SystemExit(
+                f"{mod}: {len(collisions)} basename-stem collision(s) in {d} "
+                f"(e.g. key {k!r}: {a} vs {b}); a sample would silently get "
+                f"an arbitrary file — disambiguate the directory first")
         per_mod_files[mod] = files
         print(f"{mod}: {len(files)} samples in {d}")
 

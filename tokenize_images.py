@@ -118,22 +118,30 @@ def main(argv=None):
     print(f"[tokenize_images] {len(filepaths)} images, "
           f"{args.tokenizer_type} f{args.spatial_compression}")
 
+    save_codes = args.save_codes and args.tokenizer_type == "DI"
     for fp in filepaths:
         image = resize_image(read_image(fp), args.short_size)
         batch = image[None]
-        recon = tok.forward(batch)[0]
         out_fp = output_path(fp, args.output_dir)
+        os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+        if save_codes:
+            # one encoder pass feeds both the codes file and (via decode)
+            # the reconstruction — tok.forward would encode a second time
+            from egom2p_tpu.tokenizers.cosmos.image_api import (
+                numpy2tensor, pad_image_batch, tensor2numpy,
+                unpad_image_batch)
+            padded, crop = pad_image_batch(batch, tok.cfg.spatial_compression)
+            indices, _codes = tok.encode(numpy2tensor(padded))
+            np.save(os.path.splitext(out_fp)[0] + "_codes.npy",
+                    np.asarray(indices[0]))
+            recon_t = np.asarray(tok.decode(indices), dtype=np.float32)
+            recon = unpad_image_batch(tensor2numpy(recon_t), crop)[0]
+        else:
+            recon = tok.forward(batch)[0]
         write_image(out_fp, recon)
         if args.save_input:
             stem, ext = os.path.splitext(out_fp)
             write_image(stem + "_input" + ext, image)
-        if args.save_codes and args.tokenizer_type == "DI":
-            from egom2p_tpu.tokenizers.cosmos.image_api import (
-                numpy2tensor, pad_image_batch)
-            padded, _ = pad_image_batch(batch, tok.cfg.spatial_compression)
-            indices, _codes = tok.encode(numpy2tensor(padded))
-            np.save(os.path.splitext(out_fp)[0] + "_codes.npy",
-                    np.asarray(indices[0]))
         print(f"  {fp} -> {out_fp}")
 
 

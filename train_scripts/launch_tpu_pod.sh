@@ -15,10 +15,13 @@ set -euo pipefail
 CONFIG=${1:-cfgs/egom2p/main_mod4.yaml}
 TPU_NAME=${TPU_NAME:?set TPU_NAME}
 ZONE=${ZONE:?set ZONE}
+# multi-host checkpoints need a SHARED dir (GCS/NFS); default to the
+# config's output_dir, override with OUTPUT_DIR=gs://...
+OUT_FLAG=${OUTPUT_DIR:+--output_dir $OUTPUT_DIR}
 
 CMD="cd ~/egom2p_tpu && \
   LIBTPU_INIT_ARGS='--xla_tpu_enable_async_collective_fusion=true' \
-  python run_training_egom2p.py --config $CONFIG --output_dir gs_or_nfs_path"
+  python run_training_egom2p.py --config $CONFIG $OUT_FLAG"
 
 # one identical process per host; jax.distributed.initialize() inside the
 # trainer picks up coordinator/rank from the TPU runtime

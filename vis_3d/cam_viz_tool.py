@@ -154,12 +154,10 @@ class SLAMFrontend:
         return self.render()
 
     # -- rendering -----------------------------------------------------------
-    def _track(self, poses: dict) -> dict:
+    def _track(self, poses: dict, extent: float) -> dict:
         idxs = sorted(poses)
         traj = [poses[i][:3, 3].tolist() for i in idxs]
         # frustum scale relative to scene extent (open3d used absolute 0.005)
-        pts = np.asarray(traj) if traj else np.zeros((1, 3))
-        extent = float(np.linalg.norm(pts.max(0) - pts.min(0))) or 1.0
         scale = 0.02 * extent * self.cam_scale
         frusta = {
             str(k): camera_wireframe(poses[i], scale).round(5).tolist()
@@ -167,9 +165,19 @@ class SLAMFrontend:
         }
         return {"traj": traj, "frusta": frusta}
 
+    def _scene_extent(self) -> float:
+        """ONE extent over est+gt: per-track scales would render the two
+        sets of frusta at different sizes, reading as a fake scale error."""
+        pts = [p[:3, 3] for poses in (self._est, self._gt)
+               for p in poses.values()]
+        arr = np.asarray(pts) if pts else np.zeros((1, 3))
+        return float(np.linalg.norm(arr.max(0) - arr.min(0))) or 1.0
+
     def render(self) -> str:
         os.makedirs(self.output, exist_ok=True)
-        data = {"est": self._track(self._est), "gt": self._track(self._gt)}
+        extent = self._scene_extent()
+        data = {"est": self._track(self._est, extent),
+                "gt": self._track(self._gt, extent)}
         html = _HTML.replace("__DATA__", json.dumps(data))
         out = os.path.join(self.output, "cam_viz.html")
         with open(out, "w") as f:

@@ -55,12 +55,16 @@ if __name__ == "__main__":
     args = p.parse_args()
     os.makedirs(args.output, exist_ok=True)
 
-    recon = np.load(args.recon)
-    gt = None
-    if args.gt:
-        gt = np.load(args.gt)
-        if gt.ndim == 3 and gt.shape[-2:] == (4, 4):
+    def load_traj(path):
+        """(T, 9) canonicalized or (T, 4, 4) pose npy (both flags accept
+        both, like vis_3d/cam_viz_tool.py's load())."""
+        arr = np.load(path)
+        if arr.ndim == 3 and arr.shape[-2:] == (4, 4):
             from egom2p_tpu.data.cam_gaze import canonicalize_cam
-            gt = canonicalize_cam(gt)
+            arr = canonicalize_cam(arr)
+        return arr
+
+    recon = load_traj(args.recon)
+    gt = load_traj(args.gt) if args.gt else None
     plot_trajectories(recon, gt,
                       os.path.join(args.output, "trajectory.png"))
