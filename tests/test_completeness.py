@@ -148,8 +148,8 @@ def test_s3_paths_gated():
     assert is_s3_path("s3://bucket/key/shard-0.tar")
     assert not is_s3_path("/data/shard-0.tar")
     assert parse_s3_path("s3://b/k/x.tar") == ("b", "k/x.tar")
-    with pytest.raises((RuntimeError, Exception)):
+    with pytest.raises(RuntimeError, match="egress"):
         open_stream("s3://bucket/key.tar")
     from egom2p_tpu.data.tar_reader import iter_tar_samples
-    with pytest.raises(Exception):
+    with pytest.raises(RuntimeError, match="egress"):
         list(iter_tar_samples("s3://bucket/key.tar"))

@@ -67,10 +67,13 @@ def test_str2bool_rejects_garbage():
         str2bool("maybe")
 
 
-def test_all_reduce_metrics_real_mean():
-    """On the 8-device CPU mesh (single process), force the collective path:
-    every 'process' contributes the same value, so the mean must equal it —
-    and the computation must actually run through psum, not identity."""
+def test_all_reduce_metrics_real_mean(monkeypatch):
+    """Force the collective path on the 8-device CPU mesh and prove the
+    psum actually runs: perturb each device's contribution by +i at the
+    array-construction seam, so the true mean is value + 3.5 — an identity
+    stub (which returns the unperturbed input) fails this."""
+    import jax
+
     from egom2p_tpu.core.distributed import all_reduce_metrics
 
     metrics = {"loss": 3.25, "grad_norm": 1.5}
@@ -78,3 +81,15 @@ def test_all_reduce_metrics_real_mean():
     assert set(out) == set(metrics)
     np.testing.assert_allclose(out["loss"], 3.25, rtol=1e-6)
     np.testing.assert_allclose(out["grad_norm"], 1.5, rtol=1e-6)
+
+    real_make = jax.make_array_from_process_local_data
+
+    def perturbed(sharding, data, shape):
+        data = np.asarray(data) + np.arange(len(data), dtype=np.float32)[:, None]
+        return real_make(sharding, data, shape)
+
+    monkeypatch.setattr(jax, "make_array_from_process_local_data", perturbed)
+    n_dev = len(jax.devices())
+    out2 = all_reduce_metrics(metrics, force=True)
+    np.testing.assert_allclose(out2["loss"],
+                               3.25 + (n_dev - 1) / 2.0, rtol=1e-6)

@@ -59,3 +59,7 @@ def test_gaze_artifact_range():
         pytest.skip("artifact missing")
     g = np.load(path)
     assert g.shape[-1] == 2 and np.isfinite(g).all()
+    # decoded gaze is denormalized to ~[-1, 1] viewport coordinates
+    # (data/cam_gaze.py denormalize_gaze); unnormalized pixel coords
+    # (hundreds) would mean the decode path skipped denormalization
+    assert np.abs(g).max() < 10.0, np.abs(g).max()

@@ -48,8 +48,15 @@ def test_autoregressive_seq_generation(seq_setup, cfg):
     out = sampler.generate(mod_dict, schedule, top_p=0.9, seed=3)
     d = out["caption"]
     filled = ~d["input_mask"]
-    assert filled.sum() >= 1  # at least the start sentinel filled
+    # the AR loop must actually iterate: with random weights an EOS id is a
+    # ~1/64 draw per step, so requiring several filled positions catches a
+    # schedule that aborts after the first step (early natural EOS could in
+    # principle stop sooner, but not at this seed)
+    assert int(filled.sum()) >= 3, int(filled.sum())
     assert (d["tensor"][filled] < 64).all()
+    # filled positions form a contiguous prefix (AR reveals left-to-right)
+    idx = np.where(np.asarray(filled[0]))[0]
+    assert np.array_equal(idx, np.arange(len(idx))), idx
 
 
 def test_seq_generation_with_device_resident_conditioning(seq_setup):

@@ -28,18 +28,26 @@ def test_budgets_sum_and_shapes():
     masking = UnifiedMasking(info, input_tokens_range=32, target_tokens_range=32,
                              sampling_weights=[1, 1, 1, 1], seed=0)
     rng = np.random.default_rng(0)
+    totals_in, totals_tgt = [], []
     for _ in range(20):
         out = masking(raw_mod_dict(rng))
         total_in = sum(int((~out[m]["input_mask"]).sum()) for m in MODS)
         total_tgt = sum(int((~out[m]["target_mask"]).sum()) for m in MODS)
-        # budgets can be clamped below the requested totals by max_tokens
-        assert total_in <= 32
-        assert total_tgt <= 32
+        # budgets can be clamped below the requested totals by max_tokens —
+        # but never to zero: a masker that allocates nothing is broken
+        assert 1 <= total_in <= 32
+        assert 1 <= total_tgt <= 32
+        totals_in.append(total_in)
+        totals_tgt.append(total_tgt)
         for m in MODS:
             L = MODALITY_INFO[m]["max_tokens"]
             assert out[m]["tensor"].shape == (L,)
             assert out[m]["input_mask"].shape == (L,)
             assert out[m]["decoder_attention_mask"].dtype == np.int32
+    # the full budget must actually be reachable (clamping is the exception,
+    # not the rule): regression guard against systematic under-allocation
+    assert max(totals_in) == 32
+    assert max(totals_tgt) == 32
 
 
 def test_cumsum_attention_encoding():

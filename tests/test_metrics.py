@@ -21,8 +21,14 @@ def test_codebook_usage():
     toks = np.arange(128)
     assert codebook_usage(toks, 256) == 0.5
     assert codebook_usage(np.zeros(1000, dtype=int), 256) == 1 / 256
-    windowed = codebook_usage(np.arange(1000) % 64, 256, window=100)
-    assert 0 < windowed <= 0.25
+    # window-sensitive data: first window all-zeros (1 code), second window
+    # 100 distinct codes -> windowed mean differs from the global value
+    toks2 = np.concatenate([np.zeros(100, int), np.arange(100) + 1])
+    windowed = codebook_usage(toks2, 256, window=100)
+    assert abs(windowed - (1 / 256 + 100 / 256) / 2) < 1e-9
+    unwindowed = codebook_usage(toks2, 256)
+    assert abs(unwindowed - 101 / 256) < 1e-9
+    assert windowed != unwindowed  # the window branch must be live
 
 
 def test_rotation_distance_zero_for_identical():

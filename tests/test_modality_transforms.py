@@ -91,21 +91,22 @@ def test_detection_transform_crop_flip_string():
     t = DetectionTransform(det_threshold=0.5, coord_bins=1000,
                            bbox_order="dist_to_orig")
     sample = {"instances": [
-        {"boxes": [0.25, 0.25, 0.75, 0.75], "class_name": "cat", "score": 0.9},
+        {"boxes": [0.1, 0.2, 0.5, 0.6], "class_name": "cat", "score": 0.9},
         {"boxes": [0.0, 0.0, 0.1, 0.1], "class_name": "dog", "score": 0.3},
     ]}
     bboxes = t.preprocess(sample)
     assert len(bboxes) == 1  # dog under threshold
-    # identity crop, no flip
+    # identity crop, no flip: exact coord binning (round(x * (bins - 1)))
     aug = t.image_augment(bboxes, (0, 0, 100, 100), False, (100, 100),
                           (100, 100))
     s = t.postprocess(aug)
-    assert s.startswith("v0=250 v1=250 v2=749 v3=749 cat") or "cat" in s
-    # flip mirrors x
+    assert s.startswith("v0=100 v1=200 v2=500 v3=599 cat"), s
+    # flip mirrors x (asymmetric box so a no-op flip fails the assert)
     aug_f = t.image_augment(bboxes, (0, 0, 100, 100), True, (100, 100),
                             (100, 100))
     (x0, y0, x1, y1, cls, score) = aug_f[0]
-    assert abs(x0 - 0.25) < 1e-9 and abs(x1 - 0.75) < 1e-9  # symmetric box
+    assert abs(x0 - 0.5) < 1e-9 and abs(x1 - 0.9) < 1e-9
+    assert abs(y0 - 0.2) < 1e-9 and abs(y1 - 0.6) < 1e-9  # y untouched
     # crop removing the box drops it
     assert t.image_augment(bboxes, (90, 90, 10, 10), False, (100, 100),
                            (10, 10)) == []

@@ -49,6 +49,14 @@ def test_teacher_resizes_input():
     x = jnp.zeros((1, 32, 32, 3))
     p = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(p, x).shape == (1, 2, 2, 16)
+    # value-level: a constant image is invariant under bilinear resize, so
+    # the upscaled input must reproduce the native-size output exactly —
+    # catches a resize that distorts values (wrong normalization order is
+    # linear and invisible here, but scale/crop bugs are not)
+    c = jnp.full((1, 16, 16, 3), 0.3)
+    c_big = jnp.full((1, 48, 48, 3), 0.3)
+    np.testing.assert_allclose(np.asarray(m.apply(p, c_big)),
+                               np.asarray(m.apply(p, c)), atol=1e-5)
 
 
 def test_registry_covers_reference_feat_modalities():
@@ -358,3 +366,44 @@ def test_feature_domain_trainer_end_to_end(tmp_path, monkeypatch):
     tokens = np.load(out)["arr_0"]
     assert tokens.shape == (8, 2, 2)
     assert tokens.dtype == np.int16
+
+
+@pytest.mark.slow
+def test_clip_parity_vs_reference_vendored_model(monkeypatch):
+    """Anchor the CLIP tower against the REFERENCE's own vendored CLIP
+    visual (egom2p/utils/clip/model.py VisionTransformer) — the exact
+    module whose `return_final_tokens_no_cls` output the reference's
+    feature extraction consumes (run_training_vqvae.py:966-971).  Unlike
+    the mini-model parity above, this cannot pass via a shared
+    misreading of the CLIP graph."""
+    import importlib.util
+
+    import torch
+
+    # load model.py directly (the clip package __init__ drags in
+    # hub-download machinery this environment doesn't have)
+    spec_mod = importlib.util.spec_from_file_location(
+        "ref_clip_model", "/root/reference/egom2p/utils/clip/model.py")
+    ref_clip = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(ref_clip)
+    VisionTransformer = ref_clip.VisionTransformer
+
+    spec = _TINY_CLIP
+    torch.manual_seed(0)
+    tm = VisionTransformer(input_resolution=spec.image_size,
+                           patch_size=spec.patch, width=spec.width,
+                           layers=spec.depth, heads=spec.heads,
+                           output_dim=spec.feat_dim).eval().float()
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (2, spec.image_size, spec.image_size, 3)).astype(
+        np.float32)
+    norm = ((x * 0.5 + 0.5) - np.asarray(spec.mean, np.float32)) \
+        / np.asarray(spec.std, np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(norm).permute(0, 3, 1, 2),
+                 return_final_tokens_no_cls=True).numpy()
+    ref = ref.reshape(2, spec.grid, spec.grid, spec.feat_dim)
+
+    params = _convert_with_spec(dict(tm.state_dict()), spec, "CLIP-B16")
+    out = np.asarray(ViTTeacher(spec).apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
