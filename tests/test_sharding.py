@@ -264,3 +264,55 @@ def test_tensor_parallel_matches_replicated():
     assert any("qkv/kernel" in k for k in sharded), sharded[:5]
     assert any("fc2/kernel" in k for k in sharded)
     assert any("token_emb" in k for k in sharded)
+
+
+def test_tp_fsdp_compose():
+    """TP x ZeRO: --tensor_parallel with --fsdp shards tp-matched params on
+    the model axis and the rest on the data axis; the composed step must
+    still reproduce the replicated loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _make_batch
+    from egom2p_tpu.core.mesh import MeshConfig, make_mesh
+    from egom2p_tpu.core.optim import create_optimizer
+    from egom2p_tpu.core.schedules import as_optax_schedule, cosine_scheduler
+    from egom2p_tpu.data.modality_info import make_scaled_modality_info
+    from egom2p_tpu.models.egom2p import create_model
+    from egom2p_tpu.train.egom2p_train import (init_train_state,
+                                               jit_train_step,
+                                               make_train_step,
+                                               state_shardings)
+
+    mods = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+    info = make_scaled_modality_info()
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=mods, out_domains=mods,
+                         modality_info=info)
+    batch = _make_batch(8, mods, info, 24, 24)
+    params = model.init(jax.random.PRNGKey(0), batch, 24, 24)
+    sched = as_optax_schedule(cosine_scheduler(1e-3, 0.0, 1, 4))
+    rng = jax.random.PRNGKey(7)
+
+    losses = {}
+    for mode in ("repl", "tp_fsdp"):
+        mesh = make_mesh(MeshConfig(replica=1, data=-1,
+                                    model=2 if mode == "tp_fsdp" else 1))
+        p = jax.tree_util.tree_map(jnp.array, params)
+        optimizer = create_optimizer(p, sched, weight_decay=0.05,
+                                     clip_grad=1.0)
+        state = init_train_state(p, optimizer)
+        step = make_train_step(model, optimizer, 24, 24, "mod")
+        jstep = jit_train_step(mesh, step, state, batch,
+                               fsdp=(mode == "tp_fsdp"),
+                               tp=(mode == "tp_fsdp"))
+        _, metrics = jstep(state, batch, rng)
+        losses[mode] = float(metrics["loss"])
+        if mode == "tp_fsdp":
+            # both axes are genuinely in use in the sharding assignment
+            sh = state_shardings(mesh, state, fsdp=True, tp=True)
+            specs = [str(s.spec) for s in jax.tree_util.tree_leaves(sh)]
+            assert any("model" in s for s in specs), specs[:5]
+            assert any("data" in s for s in specs), specs[:5]
+    np.testing.assert_allclose(losses["repl"], losses["tp_fsdp"], rtol=1e-5)
