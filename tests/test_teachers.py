@@ -157,6 +157,16 @@ def _torch_mini_dino(width, depth, heads, patch, image_size):
             a = (q @ k.transpose(-2, -1) / hd ** 0.5).softmax(-1)
             return self.proj((a @ v).transpose(1, 2).reshape(B, N, C))
 
+    class PlainMlp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(width, width * 4)
+            self.fc2 = tnn.Linear(width * 4, width)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            return self.fc2(F.gelu(self.fc1(x)))
+
     class Block(tnn.Module):
         def __init__(self):
             super().__init__()
@@ -164,16 +174,12 @@ def _torch_mini_dino(width, depth, heads, patch, image_size):
             self.attn = Attn()
             self.ls1 = LayerScale()
             self.norm2 = tnn.LayerNorm(width, eps=1e-6)
-            self.mlp = tnn.Sequential()
-            self.mlp.fc1 = tnn.Linear(width, width * 4)
-            self.mlp.fc2 = tnn.Linear(width * 4, width)
+            self.mlp = PlainMlp()
             self.ls2 = LayerScale()
 
         def forward(self, x):
-            import torch.nn.functional as F
             x = x + self.ls1(self.attn(self.norm1(x)))
-            return x + self.ls2(self.mlp.fc2(F.gelu(self.mlp.fc1(
-                self.norm2(x)))))
+            return x + self.ls2(self.mlp(self.norm2(x)))
 
     class Dino(tnn.Module):
         def __init__(self):
@@ -407,3 +413,106 @@ def test_clip_parity_vs_reference_vendored_model(monkeypatch):
     params = _convert_with_spec(dict(tm.state_dict()), spec, "CLIP-B16")
     out = np.asarray(ViTTeacher(spec).apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_dino_swiglu_converter_parity():
+    """G14-style fused-SwiGLU blocks: the converter must split w12 into
+    gate/value rows matching GatedMlp's fc1/fc3 and hit DINOv2's fused
+    hidden size via the 2/3 rescale."""
+    import torch
+    import torch.nn as tnn
+
+    width, depth, heads, patch, image = 24, 2, 2, 8, 16
+    hidden = int(2 * (width * 4) / 3)  # GatedMlp rescale == SwiGLUFFNFused
+
+    class SwiGLUFused(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w12 = tnn.Linear(width, 2 * hidden)
+            self.w3 = tnn.Linear(hidden, width)
+
+        def forward(self, x):
+            x12 = self.w12(x)
+            x1, x2 = x12.chunk(2, dim=-1)
+            return self.w3(tnn.functional.silu(x1) * x2)
+
+    base = _torch_mini_dino(width, depth, heads, patch, image)
+    for blk in base.blocks:  # swap in fused SwiGLU MLPs
+        blk.mlp = SwiGLUFused()
+    base = base.eval()
+
+    spec = TeacherSpec(name="tiny-g14", patch=patch, width=width,
+                       depth=depth, heads=heads, feat_dim=width,
+                       mlp="swiglu", layerscale=True, image_size=image)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (2, image, image, 3)).astype(np.float32)
+    norm = ((x * 0.5 + 0.5) - np.asarray(spec.mean, np.float32)) \
+        / np.asarray(spec.std, np.float32)
+    import torch as _t
+    with _t.no_grad():
+        ref = base(_t.from_numpy(norm).permute(0, 3, 1, 2)).numpy()
+    ref = ref.reshape(2, spec.grid, spec.grid, width)
+
+    params = _convert_with_spec(dict(base.state_dict()), spec, "DINOv2-G14")
+    out = np.asarray(ViTTeacher(spec).apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_imagebind_converter_loads():
+    """ImageBind layout: trunk prefixes, 2-frame Conv3d patch stem collapsed
+    by summing the time taps (PadIm2Video duplicates the image), in_proj
+    attention.  Synthesized checkpoint with the published key names; loads
+    and runs finite (no reference impl in-tree to anchor numerics)."""
+    import torch
+
+    width, depth, heads, patch, image = 32, 2, 2, 8, 16
+    spec = TeacherSpec(name="tiny-ib", patch=patch, width=width, depth=depth,
+                       heads=heads, feat_dim=width, ln_pre=True,
+                       ln_post=False, patch_bias=False, image_size=image)
+    g = torch.Generator().manual_seed(0)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    n = (image // patch) ** 2
+    sd = {
+        "modality_preprocessors.vision.rgbt_stem.proj.1.weight":
+            r(width, 3, 2, patch, patch),
+        "modality_preprocessors.vision.cls_token": r(1, 1, width),
+        "modality_preprocessors.vision.pos_embedding_helper.pos_embed":
+            r(1, 1 + n, width),
+        "modality_trunks.vision.pre_transformer_layer.0.weight":
+            torch.ones(width),
+        "modality_trunks.vision.pre_transformer_layer.0.bias":
+            torch.zeros(width),
+    }
+    for i in range(depth):
+        tb = f"modality_trunks.vision.blocks.{i}."
+        sd.update({
+            tb + "norm_1.weight": torch.ones(width),
+            tb + "norm_1.bias": torch.zeros(width),
+            tb + "norm_2.weight": torch.ones(width),
+            tb + "norm_2.bias": torch.zeros(width),
+            tb + "attn.in_proj_weight": r(3 * width, width),
+            tb + "attn.in_proj_bias": torch.zeros(3 * width),
+            tb + "attn.out_proj.weight": r(width, width),
+            tb + "attn.out_proj.bias": torch.zeros(width),
+            tb + "mlp.fc1.weight": r(4 * width, width),
+            tb + "mlp.fc1.bias": torch.zeros(4 * width),
+            tb + "mlp.fc2.weight": r(width, 4 * width),
+            tb + "mlp.fc2.bias": torch.zeros(width),
+        })
+
+    params = _convert_with_spec(sd, spec, "ImageBind-H14")
+    # patch kernel = sum of the two time taps
+    want = sd["modality_preprocessors.vision.rgbt_stem.proj.1.weight"] \
+        .numpy().sum(axis=2).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["patch_embed"]["kernel"]), want,
+        atol=1e-6)
+    x = jnp.asarray(np.random.default_rng(6).uniform(
+        -1, 1, (1, image, image, 3)).astype(np.float32))
+    out = np.asarray(ViTTeacher(spec).apply(params, x))
+    assert out.shape == (1, 2, 2, width) and np.isfinite(out).all()
