@@ -29,14 +29,15 @@ def make_client(profile: str = None, endpoint_url: str = None):
     s3_utils.py:29-56)."""
     try:
         import boto3
-    except ImportError as e:
+        session_cls = boto3.Session  # a stubbed/partial boto3 counts as
+    except (ImportError, AttributeError) as e:  # absent (same clear error)
         raise RuntimeError(
             "s3:// paths need boto3 + network egress, neither of which this "
             "environment has. Mirror the shards to local disk (or any "
             "mounted filesystem) and point the data path there instead."
         ) from e
-    session = (boto3.Session(profile_name=profile) if profile
-               else boto3.Session())
+    session = (session_cls(profile_name=profile) if profile
+               else session_cls())
     return session.client(
         "s3", endpoint_url=endpoint_url or os.environ.get("S3_ENDPOINT_URL"))
 
