@@ -77,27 +77,44 @@ def _split_heads(x, num_heads):
 
 
 def _try_flash64(q, k, v, mask, num_heads, softmax1):
-    """Inference fast path: head_dim-64 Pallas kernel in projection layout
-    (B, N, C) — skips the split/merge-head transposes entirely.  Returns the
-    (B, N, C) output or None when ineligible (see ops/flash64.py)."""
-    from egom2p_tpu.ops.attention import (inference_attention_active,
+    """head_dim-64 Pallas fast path in projection layout (B, N, C) — skips
+    the split/merge-head transposes entirely.  Inference routes to the
+    forward-only kernel (ops/flash64.py); training traces route to the
+    differentiable fwd+bwd kernels (ops/flash64_train.py, custom_vjp).
+    Returns the (B, N, C) output or None when ineligible."""
+    import os
+
+    from egom2p_tpu.ops.attention import (SegmentMask,
+                                          inference_attention_active,
                                           key_padding_mask)
     from egom2p_tpu.ops.flash_attention import supports_flash
 
     C = q.shape[-1]
     if (softmax1 or C % 128 != 0 or C // num_heads != 64
-            or not inference_attention_active() or not supports_flash()
+            or not supports_flash()
             or q.shape[1] * k.shape[1] < 256 * 256 or k.shape[1] > 16384):
         return None
+    if isinstance(mask, SegmentMask):
+        # training-only: generation's decoder subsets pass mask=None
+        if (inference_attention_active() or q.shape[1] != k.shape[1]
+                or os.environ.get("EGOM2P_FLASH64_TRAIN", "1") == "0"
+                or os.environ.get("EGOM2P_F64T_SEG", "1") == "0"):
+            return None
+        from egom2p_tpu.ops.flash64_train import flash64_train_attention
+        return flash64_train_attention(q, k, v, segments=mask.segments)
     is_kp, kv_blocked = key_padding_mask(mask)
     if not is_kp:
         return None
-    import os
-    from egom2p_tpu.ops.flash64 import flash64_attention
-    return flash64_attention(
-        q, k, v, kv_blocked,
-        bq=int(os.environ.get("EGOM2P_F64_BQ", "0")),  # 0 = adaptive
-        bk=int(os.environ.get("EGOM2P_F64_BK", "0")))
+    if inference_attention_active():
+        from egom2p_tpu.ops.flash64 import flash64_attention
+        return flash64_attention(
+            q, k, v, kv_blocked,
+            bq=int(os.environ.get("EGOM2P_F64_BQ", "0")),  # 0 = adaptive
+            bk=int(os.environ.get("EGOM2P_F64_BK", "0")))
+    if os.environ.get("EGOM2P_FLASH64_TRAIN", "1") == "0":  # A/B kill switch
+        return None
+    from egom2p_tpu.ops.flash64_train import flash64_train_attention
+    return flash64_train_attention(q, k, v, kv_blocked)
 
 
 def _merge_heads(x):

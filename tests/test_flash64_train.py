@@ -1,0 +1,179 @@
+"""flash64 TRAINING kernels (ops/flash64_train.py): forward and gradient
+parity vs the dense reference path in interpret mode (CPU), including
+key-padding masks, sequence padding, and fully-masked rows."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from egom2p_tpu.ops.attention import masked_attention
+from egom2p_tpu.ops.flash64_train import flash64_train_attention
+
+pytestmark = pytest.mark.slow
+
+
+def _dense(q, k, v, kv_blocked, num_heads):
+    """(B, N, C) dense reference at the kernel's bf16 matmul precision."""
+    B, N, C = q.shape
+    hd = C // num_heads
+    tr = lambda t: t.astype(jnp.bfloat16).reshape(  # noqa: E731
+        B, -1, num_heads, hd).transpose(0, 2, 1, 3)
+    mask = None if kv_blocked is None else kv_blocked[:, None, None, :]
+    out = masked_attention(tr(q), tr(k), tr(v), mask)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(jnp.float32)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("n,m,mask", [(256, 256, False), (256, 384, True),
+                                      (300, 200, True)])
+def test_fwd_parity(n, m, mask):
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    B, H = 2, 4
+    q, k, v = (_rand(ks[i], (B, nn, H * 64))
+               for i, nn in enumerate((n, m, m)))
+    kvb = (jax.random.bernoulli(ks[3], 0.3, (B, m)) if mask else None)
+    out = flash64_train_attention(q, k, v, kvb, interpret=True)
+    ref = _dense(q, k, v, kvb, H)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("mask", [False, True])
+def test_grad_parity(mask):
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    B, H, n, m = 2, 2, 256, 256
+    q, k, v = (_rand(ks[i], (B, nn, H * 64))
+               for i, nn in enumerate((n, m, m)))
+    kvb = (jax.random.bernoulli(ks[3], 0.25, (B, m)) if mask else None)
+
+    def loss_fast(q, k, v):
+        o = flash64_train_attention(q, k, v, kvb, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) * jnp.cos(o.astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        o = _dense(q, k, v, kvb, H)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, ("dq", "dk", "dv")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # bf16 matmuls in both paths; grads accumulate over 256-length
+        # contractions, so tolerances scale with magnitude
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=4e-2,
+                                   err_msg=name)
+
+
+def test_fully_masked_rows_zero_grads():
+    """A batch row whose every key is blocked: output AND all grads for that
+    row must be exactly zero (matching the dense path's emptied-CFG
+    convention)."""
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    B, H, n, m = 2, 2, 128, 128
+    q, k, v = (_rand(ks[i], (B, nn, H * 64))
+               for i, nn in enumerate((n, m, m)))
+    kvb = jnp.zeros((B, m), bool).at[1].set(True)  # row 1 fully blocked
+
+    out = flash64_train_attention(q, k, v, kvb, interpret=True)
+    assert np.abs(np.asarray(out[1], np.float32)).max() == 0.0
+
+    def loss(q, k, v):
+        o = flash64_train_attention(q, k, v, kvb, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.abs(np.asarray(dq[1], np.float32)).max() == 0.0
+    assert np.abs(np.asarray(dk[1], np.float32)).max() == 0.0
+    assert np.abs(np.asarray(dv[1], np.float32)).max() == 0.0
+    # the unmasked row still flows gradients
+    assert np.abs(np.asarray(dq[0], np.float32)).max() > 0.0
+
+
+def _dense_seg(q, k, v, segments, num_heads):
+    """Dense reference for segment self-attention (same-segment visible)."""
+    blocked = segments[:, None, :] != segments[:, :, None]
+    B, N, C = q.shape
+    hd = C // num_heads
+    tr = lambda t: t.astype(jnp.bfloat16).reshape(  # noqa: E731
+        B, -1, num_heads, hd).transpose(0, 2, 1, 3)
+    out = masked_attention(tr(q), tr(k), tr(v), blocked[:, None])
+    return out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(jnp.float32)
+
+
+@pytest.mark.parametrize("n", [256, 300])
+def test_segment_fwd_parity(n):
+    """Same-segment masking vs the dense path, incl. non-block-aligned
+    lengths (pad rows must come back exactly zero... they are sliced off)
+    and a -1 padding segment like the decoder's mod_k."""
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    B, H = 2, 4
+    q, k, v = (_rand(ks[i], (B, n, H * 64)) for i in range(3))
+    segments = jax.random.randint(ks[3], (B, n), -1, 3)
+    out = flash64_train_attention(q, k, v, segments=segments, interpret=True)
+    ref = _dense_seg(q, k, v, segments, H)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_segment_grad_parity():
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    B, H, n = 2, 2, 256
+    q, k, v = (_rand(ks[i], (B, n, H * 64)) for i in range(3))
+    segments = jax.random.randint(ks[3], (B, n), 0, 4)
+
+    def loss_fast(q, k, v):
+        o = flash64_train_attention(q, k, v, segments=segments,
+                                    interpret=True)
+        return jnp.sum(o.astype(jnp.float32) * jnp.cos(o.astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        o = _dense_seg(q, k, v, segments, H)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, ("dq", "dk", "dv")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=4e-2,
+                                   err_msg=name)
+
+
+def test_segment_module_routing():
+    """Attention with a SegmentMask must produce the same output whether the
+    flash64_train path is taken (interpret via monkeypatched supports) or
+    the stock dense path — checked at the module level on CPU by calling
+    the kernel directly against masked_attention (routing itself is
+    hardware-gated; tests/test_flash_tpu.py drives it on chip)."""
+    from egom2p_tpu.ops.attention import SegmentMask
+    ks = jax.random.split(jax.random.PRNGKey(6), 4)
+    B, H, n = 1, 2, 256
+    q, k, v = (_rand(ks[i], (B, n, H * 64)) for i in range(3))
+    segments = jnp.asarray(np.repeat([0, 1, 2, -1], n // 4)[None])
+    out = flash64_train_attention(q, k, v, segments=segments, interpret=True)
+    ref = _dense_seg(q, k, v, segments, H)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    assert isinstance(SegmentMask(segments=segments), SegmentMask)
+
+
+def test_under_remat():
+    """jax.checkpoint over the custom_vjp (the per-block remat the trainer
+    uses) must reproduce the un-rematerialized gradients exactly."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    B, H, n = 1, 2, 128
+    q, k, v = (_rand(ks[i], (B, n, H * 64)) for i in range(3))
+
+    def loss(q, k, v):
+        o = flash64_train_attention(q, k, v, None, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_plain = jax.grad(loss)(q, k, v)
+    g_remat = jax.grad(jax.checkpoint(loss))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g_plain, np.float32),
+                               np.asarray(g_remat, np.float32), atol=1e-6)

@@ -72,6 +72,59 @@ ref2 = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, N, H * hd), np.float32)
 d64 = np.abs(np.asarray(out64, np.float32) - ref2).max()
 assert d64 < 0.05, f"flash64 fwd diff {d64}"
 print("flash64 ok", float(d64))
+
+# flash64 TRAINING kernels on hardware: fwd + dq/dk/dv vs dense grads
+# (tests/test_flash64_train.py covers interpret mode)
+from egom2p_tpu.ops.flash64_train import flash64_train_attention
+kvb = jnp.asarray(blocked)
+
+def loss_fast(q2, k2, v2):
+    o = flash64_train_attention(q2, k2, v2, kvb)
+    return jnp.sum(o.astype(jnp.float32) ** 2)
+
+def loss_ref(q2, k2, v2):
+    qh = q2.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    kh = k2.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    vh = v2.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    o = dense(qh, kh, vh, kvb[:, None, None, :])
+    return jnp.sum(o.astype(jnp.float32) ** 2)
+
+oT = jax.jit(lambda q, k, v: flash64_train_attention(q, k, v, kvb))(
+    q2, k2, v2)
+dT = np.abs(np.asarray(oT, np.float32) - ref2).max()
+assert dT < 0.05, f"flash64_train fwd diff {dT}"
+gT = jax.jit(jax.grad(loss_fast, argnums=(0, 1, 2)))(q2, k2, v2)
+gR = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q2, k2, v2)
+for name, a, b in zip(("dq", "dk", "dv"), gT, gR):
+    a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+    scale = max(np.abs(b).max(), 1e-3)
+    dd = np.abs(a - b).max() / scale
+    assert dd < 0.05, f"flash64_train {name} rel diff {dd}"
+print("flash64_train ok", float(dT))
+
+# segment mode (decoder same-modality self-attention) fwd+bwd on hardware
+segj = jnp.asarray(seg)
+
+def loss_seg_fast(q2, k2, v2):
+    o = flash64_train_attention(q2, k2, v2, segments=segj)
+    return jnp.sum(o.astype(jnp.float32) ** 2)
+
+def loss_seg_ref(q2, k2, v2):
+    qh = q2.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    kh = k2.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    vh = v2.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    m = (seg[:, None, :] != seg[:, :, None])[:, None]
+    o = dense(qh, kh, vh, m)
+    return jnp.sum(o.astype(jnp.float32) ** 2)
+
+gS = jax.jit(jax.grad(loss_seg_fast, argnums=(0, 1, 2)))(q2, k2, v2)
+gSR = jax.jit(jax.grad(loss_seg_ref, argnums=(0, 1, 2)))(q2, k2, v2)
+for name, a, b in zip(("dq", "dk", "dv"), gS, gSR):
+    a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+    scale = max(np.abs(b).max(), 1e-3)
+    dd = np.abs(a - b).max() / scale
+    assert dd < 0.05, f"flash64_train seg {name} rel diff {dd}"
+print("flash64_train seg ok")
 print("FLASH_TPU_OK")
 """
 
