@@ -162,6 +162,63 @@ def test_segment_module_routing():
     assert isinstance(SegmentMask(segments=segments), SegmentMask)
 
 
+def test_model_level_training_routing_parity(monkeypatch):
+    """End-to-end: the FULL EgoM2P training trace (encoder self + decoder
+    self/cross attention, models/transformer.py:_try_flash64 routing) run
+    through the interpret-mode flash64_train kernels reproduces the dense
+    path's loss and parameter gradients.  Also asserts the kernel actually
+    fired for every attention call and that no stock Pallas kernel was
+    reached (which would crash on CPU anyway)."""
+    import egom2p_tpu.ops.flash64_train as f64t
+    import egom2p_tpu.ops.flash_attention as fa
+    from egom2p_tpu.data.modality_info import MODALITY_INFO
+    from egom2p_tpu.models.egom2p import create_model
+    from tests.test_model import make_mod_dict
+
+    mods = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias", mods, mods)
+    md = make_mod_dict(np.random.default_rng(7), batch=2, mods=mods,
+                       n_in=256, n_tgt=256, info=MODALITY_INFO)
+    params = jax.jit(lambda k: model.init(k, md, 256, 256))(
+        jax.random.PRNGKey(0))
+
+    def loss_fn(p):
+        loss, _ = model.apply(p, md, 256, 256, "mod")
+        return loss
+
+    # dense baseline (CPU default: supports_flash() is False)
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    # flash64_train path: force eligibility, run the kernels in interpret
+    # mode, count invocations, and make reaching a stock kernel an error
+    calls = {"n": 0}
+    real = f64t.flash64_train_attention
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **{**kw, "interpret": True})
+
+    def boom(*a, **kw):
+        raise AssertionError("stock flash kernel reached under routing")
+
+    monkeypatch.setattr(f64t, "flash64_train_attention", counted)
+    monkeypatch.setattr(fa, "supports_flash", lambda: True)
+    monkeypatch.setattr(fa, "padding_flash_attention", boom)
+    monkeypatch.setattr(fa, "segment_flash_attention", boom)
+    l_fast, g_fast = jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    # 6 encoder self + 6 decoder self + 6 decoder cross per forward trace
+    assert calls["n"] >= 18, calls["n"]
+    np.testing.assert_allclose(float(l_fast), float(l_ref), rtol=1e-2)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fast)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    for a, b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=8e-2)
+
+
 def test_under_remat():
     """jax.checkpoint over the custom_vjp (the per-block remat the trainer
     uses) must reproduce the un-rematerialized gradients exactly."""
