@@ -90,6 +90,8 @@ def main():
         "batch": B, "steps_per_sec": round(steps / dt, 3),
         "mfu_pct": round(mfu * 100, 1),
         "model_tflops_per_step": round(fl / steps / 1e12, 2),
+        # A/B switch state (ops/flash64_train.py routing; docs/DESIGN.md)
+        "flash64_train": os.environ.get("EGOM2P_FLASH64_TRAIN", "1") != "0",
     }))
     print(f"# setup+compile {setup_s:.1f}s; {steps} steps in {dt:.2f}s",
           file=sys.stderr)
