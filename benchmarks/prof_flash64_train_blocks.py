@@ -23,8 +23,11 @@ import jax.numpy as jnp  # noqa: E402
 from egom2p_tpu.ops.flash64_train import flash64_train_attention  # noqa: E402
 
 
+_sync = jax.jit(lambda a: a.reshape(-1)[0])  # compile once; keep timings pure
+
+
 def syncarr(x):
-    return np.asarray(jax.jit(lambda a: a.reshape(-1)[0])(x))
+    return np.asarray(_sync(x))
 
 
 B, H, N, hd = 8, 12, 2048, 64

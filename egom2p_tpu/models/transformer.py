@@ -85,6 +85,7 @@ def _try_flash64(q, k, v, mask, num_heads, softmax1):
     import os
 
     from egom2p_tpu.ops.attention import (SegmentMask,
+                                          generation_trace_active,
                                           inference_attention_active,
                                           key_padding_mask)
     from egom2p_tpu.ops.flash_attention import supports_flash
@@ -96,7 +97,7 @@ def _try_flash64(q, k, v, mask, num_heads, softmax1):
         return None
     if isinstance(mask, SegmentMask):
         # training-only: generation's decoder subsets pass mask=None
-        if (inference_attention_active() or q.shape[1] != k.shape[1]
+        if (generation_trace_active() or q.shape[1] != k.shape[1]
                 or os.environ.get("EGOM2P_FLASH64_TRAIN", "1") == "0"
                 or os.environ.get("EGOM2P_F64T_SEG", "1") == "0"):
             return None
@@ -105,7 +106,11 @@ def _try_flash64(q, k, v, mask, num_heads, softmax1):
     is_kp, kv_blocked = key_padding_mask(mask)
     if not is_kp:
         return None
-    if inference_attention_active():
+    if generation_trace_active():
+        # EGOM2P_FLASH64=0 A/B: generation falls back to the STOCK path
+        # (never the training kernel, whose extra L2 output is dead weight)
+        if not inference_attention_active():
+            return None
         from egom2p_tpu.ops.flash64 import flash64_attention
         return flash64_attention(
             q, k, v, kv_blocked,

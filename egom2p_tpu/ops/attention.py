@@ -24,8 +24,9 @@ _NEG_INF = -1e30  # large negative instead of finfo.min: safe under bf16->fp32 c
 # ---------------------------------------------------------- inference mode
 # Generation wraps its jitted step functions in `inference_attention()` so
 # traced graphs route eligible attention onto the forward-only flash64
-# kernel (ops/flash64.py). Training paths trace outside the context and keep
-# the stock fwd+bwd kernels.
+# kernel (ops/flash64.py). Training traces (outside the context) route onto
+# the differentiable flash64_train kernels (ops/flash64_train.py); either
+# hd-64 path falls back to the stock kernels when its env switch is off.
 _INFERENCE_ATTN = False
 
 
@@ -43,6 +44,16 @@ def inference_attention():
 def inference_attention_active() -> bool:
     if os.environ.get("EGOM2P_FLASH64", "1") == "0":  # A/B kill switch
         return False
+    return _INFERENCE_ATTN
+
+
+def generation_trace_active() -> bool:
+    """Raw inference-context flag, ignoring the EGOM2P_FLASH64 env switch.
+
+    Routing must distinguish "we are tracing generation" (training kernels
+    are never eligible, whatever the env says) from "the inference flash64
+    kernel is enabled" — with EGOM2P_FLASH64=0 a generation trace has to
+    fall back to the STOCK path, not to the training kernel."""
     return _INFERENCE_ATTN
 
 

@@ -26,7 +26,7 @@ This kernel:
 
 Numerics: bf16 matmuls, fp32 scores/accumulator — same contract as the
 stock kernel. Non-causal only, forward only (generation never
-differentiates; training keeps the stock fwd+bwd kernels).
+differentiates; training routes to ops/flash64_train.py's fwd+bwd pair).
 """
 from __future__ import annotations
 

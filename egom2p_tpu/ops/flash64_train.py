@@ -5,10 +5,10 @@ head-pair grid programs, VMEM-resident counterpart operand, exp2-domain
 online softmax) to the training path that the profile says dominates the
 step: flash kernels are ~35% of train-step device time and the
 (B, N, C) <-> (B, H, N, hd) layout copies around the stock kernels another
-~11% (docs/DESIGN.md "Train-step profile").  Covers the padding-masked
-attentions (encoder self-attention and decoder cross-attention — 2/3 of
-the attention FLOPs at the 2048/2048 budgets); the decoder's segment-masked
-self-attention keeps the stock segment kernels.
+~11% (docs/DESIGN.md "Train-step profile").  Covers all three training
+attentions: the padding-masked encoder self-attention and decoder
+cross-attention (kv_blocked mode), and the decoder's segment-masked
+self-attention (segments mode, EGOM2P_F64T_SEG to A/B it separately).
 
 Deliberately a SEPARATE module from flash64.py: the persistent compile
 cache keys on source line numbers inside Pallas HLO, so touching the
@@ -436,6 +436,8 @@ def flash64_train_attention(
     `segments` same-segment self-attention (ops/attention.py:SegmentMask).
     """
     N, M = q.shape[1], k.shape[1]
+    assert q.shape[-1] % 128 == 0, \
+        "flash64_train needs an even number of 64-dim heads"
     if segments is not None:
         assert kv_blocked is None, "kv_blocked and segments are exclusive"
         assert N == M, "segment mode is self-attention only"

@@ -7,9 +7,10 @@ This wrapper routes the two mask shapes that dominate EgoM2P --- no mask, and
 "blocked padding keys" (B, 1, M) --- onto the Pallas TPU flash-attention
 kernel using segment ids, with sequence padding to the kernel's block sizes.
 
-The structured decoder self-attention mask (cumsum + modality separation,
-(B, M, M)) keeps the dense path; a custom Pallas kernel for it is the next
-optimization step.
+The structured decoder self-attention mask reduces to same-segment ids
+(ops/attention.py:SegmentMask) and routes through `segment_flash_attention`
+here — or, at head_dim 64, onto the custom kernels in ops/flash64.py
+(inference) and ops/flash64_train.py (training).
 """
 from __future__ import annotations
 

@@ -144,22 +144,70 @@ def test_segment_grad_parity():
                                    err_msg=name)
 
 
-def test_segment_module_routing():
-    """Attention with a SegmentMask must produce the same output whether the
-    flash64_train path is taken (interpret via monkeypatched supports) or
-    the stock dense path — checked at the module level on CPU by calling
-    the kernel directly against masked_attention (routing itself is
-    hardware-gated; tests/test_flash_tpu.py drives it on chip)."""
-    from egom2p_tpu.ops.attention import SegmentMask
-    ks = jax.random.split(jax.random.PRNGKey(6), 4)
+def test_segment_module_routing(monkeypatch):
+    """models/transformer.py Attention with a SegmentMask must route through
+    flash64_train_attention (when flash is supported) and reproduce the
+    stock dense path's output; the EGOM2P_F64T_SEG=0 switch and the
+    generation trace context must each send it back to the dense path."""
+    import egom2p_tpu.ops.flash64_train as f64t
+    import egom2p_tpu.ops.flash_attention as fa
+    from egom2p_tpu.models.transformer import Attention
+    from egom2p_tpu.ops.attention import SegmentMask, inference_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 2)
+    B, H, n = 1, 2, 256
+    x = _rand(ks[0], (B, n, H * 64))
+    segments = jnp.asarray(np.repeat([0, 1, 2, -1], n // 4)[None])
+    mask = SegmentMask(segments=segments)
+    module = Attention(num_heads=H)
+    params = module.init(ks[1], x, mask)
+    ref = module.apply(params, x, mask)  # CPU default: dense path
+
+    calls = {"n": 0}
+    real = f64t.flash64_train_attention
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(f64t, "flash64_train_attention", counted)
+    monkeypatch.setattr(fa, "supports_flash", lambda: True)
+    out = module.apply(params, x, mask)
+    assert calls["n"] == 1, "SegmentMask did not route to flash64_train"
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+    # gate checks (on _try_flash64 directly: the module fallback would hit
+    # the stock segment kernel, which can't run non-interpret on CPU)
+    from egom2p_tpu.models.transformer import _try_flash64
+    q = k = v = x
+    monkeypatch.setenv("EGOM2P_F64T_SEG", "0")
+    assert _try_flash64(q, k, v, mask, H, False) is None, \
+        "EGOM2P_F64T_SEG=0 must disable the seg kernel"
+    monkeypatch.delenv("EGOM2P_F64T_SEG")
+    with inference_attention():  # generation traces never take the train path
+        assert _try_flash64(q, k, v, mask, H, False) is None, \
+            "generation trace must not reach flash64_train"
+    assert calls["n"] == 1
+
+
+def test_generation_kill_switch_falls_back_to_stock(monkeypatch):
+    """With EGOM2P_FLASH64=0 inside a generation trace, _try_flash64 must
+    return None (stock path) — not fall through to the training kernel
+    (regression: the documented inference A/B switch)."""
+    import egom2p_tpu.ops.flash_attention as fa
+    from egom2p_tpu.models.transformer import _try_flash64
+    from egom2p_tpu.ops.attention import inference_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
     B, H, n = 1, 2, 256
     q, k, v = (_rand(ks[i], (B, n, H * 64)) for i in range(3))
-    segments = jnp.asarray(np.repeat([0, 1, 2, -1], n // 4)[None])
-    out = flash64_train_attention(q, k, v, segments=segments, interpret=True)
-    ref = _dense_seg(q, k, v, segments, H)
-    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
-                               atol=2e-2, rtol=2e-2)
-    assert isinstance(SegmentMask(segments=segments), SegmentMask)
+    kp = jnp.zeros((B, 1, n), bool)
+    monkeypatch.setattr(fa, "supports_flash", lambda: True)
+    monkeypatch.setenv("EGOM2P_FLASH64", "0")
+    with inference_attention():
+        assert _try_flash64(q, k, v, kp, H, False) is None
 
 
 def test_model_level_training_routing_parity(monkeypatch):
