@@ -76,50 +76,98 @@ def _split_heads(x, num_heads):
     return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
 
 
+def _tp_shard_mapped(mesh, call, q, k, v, mask_arr):
+    """Run `call(q, k, v, mask_arr)` per model-axis shard via shard_map.
+
+    Attention is head-parallel, so sharding channels (= whole heads) over
+    the 'model' axis needs no collectives inside the kernel; batch stays
+    split over the data axes and the (B, N|M) mask row is replicated across
+    the model axis (check_rep=False: masks are replicated, outputs are not)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    batch = tuple(a for a in ("replica", "data") if a in mesh.axis_names)
+    xs = P(batch, None, "model")
+    if mask_arr is None:
+        return shard_map(lambda a, b, c: call(a, b, c, None), mesh=mesh,
+                         in_specs=(xs, xs, xs), out_specs=xs,
+                         check_rep=False)(q, k, v)
+    ms = P(batch, None)
+    return shard_map(call, mesh=mesh, in_specs=(xs, xs, xs, ms),
+                     out_specs=xs, check_rep=False)(q, k, v, mask_arr)
+
+
 def _try_flash64(q, k, v, mask, num_heads, softmax1):
     """head_dim-64 Pallas fast path in projection layout (B, N, C) — skips
     the split/merge-head transposes entirely.  Inference routes to the
     forward-only kernel (ops/flash64.py); training traces route to the
     differentiable fwd+bwd kernels (ops/flash64_train.py, custom_vjp).
-    Returns the (B, N, C) output or None when ineligible."""
+    Under tensor parallelism the same kernels run per model-axis shard
+    through shard_map (attention is head-parallel).  Returns the (B, N, C)
+    output or None when ineligible."""
     import os
 
     from egom2p_tpu.ops.attention import (SegmentMask,
                                           generation_trace_active,
                                           inference_attention_active,
-                                          key_padding_mask)
-    from egom2p_tpu.ops.flash_attention import supports_flash
+                                          key_padding_mask, tp_flash_mesh)
+    from egom2p_tpu.ops.flash_attention import (flash_backend_available,
+                                                supports_flash)
 
     C = q.shape[-1]
     if (softmax1 or C % 128 != 0 or C // num_heads != 64
-            or not supports_flash()
             or q.shape[1] * k.shape[1] < 256 * 256 or k.shape[1] > 16384):
         return None
+    tp_mesh = tp_flash_mesh()
+    if tp_mesh is not None:
+        # per-shard eligibility: whole head PAIRS per model shard
+        n_model = tp_mesh.shape.get("model", 1)
+        if (num_heads % n_model or (C // n_model) % 128
+                or not flash_backend_available()):
+            return None
+    elif not supports_flash():
+        return None
+
+    # ------- pick the kernel + mask array (None = reject to stock path)
     if isinstance(mask, SegmentMask):
         # training-only: generation's decoder subsets pass mask=None
         if (generation_trace_active() or q.shape[1] != k.shape[1]
                 or os.environ.get("EGOM2P_FLASH64_TRAIN", "1") == "0"
                 or os.environ.get("EGOM2P_F64T_SEG", "1") == "0"):
             return None
-        from egom2p_tpu.ops.flash64_train import flash64_train_attention
-        return flash64_train_attention(q, k, v, segments=mask.segments)
-    is_kp, kv_blocked = key_padding_mask(mask)
-    if not is_kp:
-        return None
-    if generation_trace_active():
-        # EGOM2P_FLASH64=0 A/B: generation falls back to the STOCK path
-        # (never the training kernel, whose extra L2 output is dead weight)
-        if not inference_attention_active():
+
+        def call(q, k, v, seg):
+            from egom2p_tpu.ops.flash64_train import flash64_train_attention
+            return flash64_train_attention(q, k, v, segments=seg)
+
+        mask_arr = mask.segments
+    else:
+        is_kp, kv_blocked = key_padding_mask(mask)
+        if not is_kp:
             return None
-        from egom2p_tpu.ops.flash64 import flash64_attention
-        return flash64_attention(
-            q, k, v, kv_blocked,
-            bq=int(os.environ.get("EGOM2P_F64_BQ", "0")),  # 0 = adaptive
-            bk=int(os.environ.get("EGOM2P_F64_BK", "0")))
-    if os.environ.get("EGOM2P_FLASH64_TRAIN", "1") == "0":  # A/B kill switch
-        return None
-    from egom2p_tpu.ops.flash64_train import flash64_train_attention
-    return flash64_train_attention(q, k, v, kv_blocked)
+        if generation_trace_active():
+            # EGOM2P_FLASH64=0 A/B: generation falls back to the STOCK path
+            # (never the training kernel, whose L2 output is dead weight)
+            if not inference_attention_active():
+                return None
+
+            def call(q, k, v, kvb):
+                from egom2p_tpu.ops.flash64 import flash64_attention
+                return flash64_attention(
+                    q, k, v, kvb,
+                    bq=int(os.environ.get("EGOM2P_F64_BQ", "0")),  # 0=adaptive
+                    bk=int(os.environ.get("EGOM2P_F64_BK", "0")))
+        elif os.environ.get("EGOM2P_FLASH64_TRAIN", "1") == "0":  # A/B switch
+            return None
+        else:
+            def call(q, k, v, kvb):
+                from egom2p_tpu.ops.flash64_train import flash64_train_attention
+                return flash64_train_attention(q, k, v, kvb)
+
+        mask_arr = kv_blocked
+    if tp_mesh is not None:
+        return _tp_shard_mapped(tp_mesh, call, q, k, v, mask_arr)
+    return call(q, k, v, mask_arr)
 
 
 def _merge_heads(x):

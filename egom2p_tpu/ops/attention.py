@@ -57,6 +57,30 @@ def generation_trace_active() -> bool:
     return _INFERENCE_ATTN
 
 
+# ------------------------------------------------------- tensor parallelism
+# GSPMD cannot partition a Pallas custom call, so under --tensor_parallel
+# the auto-sharded flash path is disabled (flash_attention.disable_flash).
+# Attention is head-parallel, though — each head attends independently — so
+# the hd-64 kernels still apply per model-axis shard with NO collectives:
+# the trainer registers the mesh here and models/transformer.py:_try_flash64
+# wraps the kernel call in a shard_map over (batch axes, model axis).
+_TP_FLASH_MESH = None
+
+
+def set_tp_flash_mesh(mesh) -> None:
+    """Register the TP mesh so attention routes flash64 through shard_map
+    (pass None to clear).  Callers still call disable_flash() so that the
+    stock GSPMD-traced kernels stay off."""
+    global _TP_FLASH_MESH
+    _TP_FLASH_MESH = mesh
+
+
+def tp_flash_mesh():
+    if os.environ.get("EGOM2P_TP_FLASH", "1") == "0":  # A/B kill switch
+        return None
+    return _TP_FLASH_MESH
+
+
 def key_padding_mask(mask) -> "tuple[bool, Optional[jnp.ndarray]]":
     """(is_key_padding, (B, M) blocked-bool or None) for a module-level mask."""
     if mask is None or isinstance(mask, SegmentMask):

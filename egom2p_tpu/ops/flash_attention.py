@@ -49,13 +49,21 @@ def disable_flash(disabled: bool = True) -> None:
     _FLASH_DISABLED = disabled
 
 
-def supports_flash() -> bool:
-    if _FLASH_DISABLED:
-        return False
+def flash_backend_available() -> bool:
+    """Raw accelerator check, ignoring disable_flash().  Used by the
+    tensor-parallel routing: TP disables the GSPMD flash path (custom calls
+    aren't partitionable) but the shard_map-wrapped flash64 kernels remain
+    eligible whenever the backend itself can run Pallas."""
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+def supports_flash() -> bool:
+    if _FLASH_DISABLED:
+        return False
+    return flash_backend_available()
 
 
 def _default_block() -> int:

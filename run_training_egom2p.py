@@ -377,9 +377,13 @@ def main(args):
     enable_persistent_cache()
     if args.tensor_parallel > 1:
         from egom2p_tpu.core.mesh import MeshConfig
+        from egom2p_tpu.ops.attention import set_tp_flash_mesh
         from egom2p_tpu.ops.flash_attention import disable_flash
         disable_flash()  # Pallas custom calls can't be GSPMD-partitioned
         mesh = make_mesh(MeshConfig(model=args.tensor_parallel))
+        # ...but attention is head-parallel: route hd-64 kernels through a
+        # shard_map over the model axis instead of losing them entirely
+        set_tp_flash_mesh(mesh)
     else:
         mesh = make_mesh()
     world = num_data_shards(mesh)

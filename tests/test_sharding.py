@@ -316,3 +316,82 @@ def test_tp_fsdp_compose():
             assert any("model" in s for s in specs), specs[:5]
             assert any("data" in s for s in specs), specs[:5]
     np.testing.assert_allclose(losses["repl"], losses["tp_fsdp"], rtol=1e-5)
+
+
+def test_tp_shard_mapped_flash64_matches_dense(monkeypatch):
+    """Under tensor parallelism the hd-64 training kernels run per
+    model-axis shard via shard_map (attention is head-parallel, so no
+    collectives are needed inside the kernel).  The TP=2 sharded loss and
+    parameter gradients must reproduce the unsharded dense path, the kernel
+    must actually fire, and meshes that leave an odd head-pair count per
+    shard must fall back (return None -> XLA attention)."""
+    import egom2p_tpu.ops.flash64_train as f64t
+    import egom2p_tpu.ops.flash_attention as fa
+    from egom2p_tpu.models.transformer import _try_flash64
+    from egom2p_tpu.ops import attention as attn_mod
+    from egom2p_tpu.train.egom2p_train import tp_spec
+    from jax.sharding import NamedSharding
+    from egom2p_tpu.core.mesh import BATCH_SPEC, REPLICATED_SPEC
+    from tests.test_model import make_mod_dict as _mmd
+
+    # all four modalities at REAL sizes (tests.test_model's scaled registry
+    # tops out below the kernel's 256x256 eligibility gate); width 768/12
+    # heads is the smallest TP2-eligible shape (3D posemb needs dim%6==0,
+    # and tp=2 must leave an EVEN head count = whole 128-lane pairs/shard)
+    from egom2p_tpu.data.modality_info import MODALITY_INFO as FULL_INFO
+    mods = MODS4
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=mods, out_domains=mods,
+                         modality_info=FULL_INFO, dim=768, num_heads=12)
+    rng = np.random.default_rng(11)
+    md = _mmd(rng, batch=4, mods=mods, n_in=256, n_tgt=256, info=FULL_INFO)
+    params = model.init(jax.random.PRNGKey(0), md, 256, 256)
+
+    def loss_fn(p, b):
+        loss, _ = model.apply(p, b, 256, 256, "mod")
+        return loss
+
+    # dense unsharded baseline (CPU: supports_flash() False, no TP mesh)
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_fn))(params, md)
+
+    calls = {"n": 0}
+    real = f64t.flash64_train_attention
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(f64t, "flash64_train_attention", counted)
+    monkeypatch.setattr(fa, "flash_backend_available", lambda: True)
+    mesh = make_mesh(MeshConfig(replica=1, data=-1, model=2))
+    attn_mod.set_tp_flash_mesh(mesh)
+    try:
+        def p_shard(path, x):
+            spec = (tp_spec(path, x.shape, 2)
+                    if getattr(x, "ndim", 0) else REPLICATED_SPEC)
+            return NamedSharding(mesh, spec)
+
+        p = jax.device_put(params,
+                           jax.tree_util.tree_map_with_path(p_shard, params))
+        b = jax.device_put(md, NamedSharding(mesh, BATCH_SPEC))
+        l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(p, b)
+
+        # every attention site routed through the shard_mapped kernel:
+        # 6 encoder self + 6 decoder self + 6 decoder cross
+        assert calls["n"] >= 18, calls["n"]
+        np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-2)
+        for a, r in zip(jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, g_tp)),
+                jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, g_ref))):
+            a = np.asarray(a, np.float32)
+            r = np.asarray(r, np.float32)
+            scale = max(np.abs(r).max(), 1e-3)
+            np.testing.assert_allclose(a / scale, r / scale, atol=8e-2)
+
+        # 6-head model x tp=2 -> 3 heads/shard (odd pair count): ineligible
+        q6 = jnp.zeros((2, 256, 384), jnp.bfloat16)
+        kp6 = jnp.zeros((2, 1, 256), bool)
+        assert _try_flash64(q6, q6, q6, kp6, 6, False) is None
+    finally:
+        attn_mod.set_tp_flash_mesh(None)
