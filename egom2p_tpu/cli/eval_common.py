@@ -54,7 +54,39 @@ def build_argparser(task: str) -> argparse.ArgumentParser:
     p.add_argument("--smoke", action="store_true",
                    help="random weights; exercises the full pipeline without "
                         "checkpoints")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="serve the main model tensor-parallel over the first "
+                        "N devices (Megatron param sharding; hd-64 attention "
+                        "keeps the flash kernels via shard_map)")
     return p
+
+
+def _tensor_parallel_params(params, n: int):
+    """Shard the main model over a (1, 1, model=N) serving mesh: Megatron
+    column/row/vocab param placement (train/egom2p_train.py:tp_spec), batch
+    replicated, and the shard_map flash64 routing registered
+    (models/transformer.py:_tp_shard_mapped).  Exceeds the reference, which
+    serves single-GPU only."""
+    from jax.sharding import NamedSharding
+
+    from egom2p_tpu.core.mesh import REPLICATED_SPEC, MeshConfig, make_mesh
+    from egom2p_tpu.ops.attention import set_tp_flash_mesh
+    from egom2p_tpu.ops.flash_attention import disable_flash
+    from egom2p_tpu.train.egom2p_train import tp_spec
+
+    devs = jax.devices()
+    assert len(devs) >= n, f"--tensor_parallel {n} > {len(devs)} devices"
+    disable_flash()  # GSPMD can't partition the stock Pallas custom calls
+    mesh = make_mesh(MeshConfig(replica=1, data=1, model=n), devices=devs[:n])
+    set_tp_flash_mesh(mesh)
+
+    def p_shard(path, x):
+        spec = (tp_spec(path, x.shape, n)
+                if getattr(x, "ndim", 0) else REPLICATED_SPEC)
+        return NamedSharding(mesh, spec)
+
+    return jax.device_put(params,
+                          jax.tree_util.tree_map_with_path(p_shard, params))
 
 
 def load_main_model(args):
@@ -139,6 +171,8 @@ def run_task(task: str, cond_domain: str, target_domain: str,
     Returns per-file timing/output records (used by bench.py)."""
     enable_persistent_cache()
     model, params = load_main_model(args)
+    if getattr(args, "tensor_parallel", 1) > 1:
+        params = _tensor_parallel_params(params, args.tensor_parallel)
     sampler = GenerationSampler(model, params)
 
     tokenizers = {}

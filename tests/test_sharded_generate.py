@@ -68,3 +68,65 @@ def test_dp_sharded_generation_matches_single_device():
     single = run(shard=False)
     sharded = run(shard=True)
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_tp_sharded_generation_matches_single_device():
+    """Tensor-parallel serving: params sharded over the model axis by
+    tp_spec (Megatron column/row/vocab rules) with the batch replicated must
+    reproduce the unsharded generation exactly — GSPMD inserts the
+    collectives; on TPU the hd-64 attention additionally routes through the
+    shard_map flash path (test_sharding.py covers its numerics)."""
+    from egom2p_tpu.core.mesh import REPLICATED_SPEC, MeshConfig
+    from egom2p_tpu.train.egom2p_train import tp_spec
+
+    model, params, info, sample, schedule = _setup()
+
+    def run(tp: bool):
+        p = params
+        if tp:
+            mesh = make_mesh(MeshConfig(replica=1, data=1, model=2),
+                             devices=jax.devices()[:2])
+
+            def p_shard(path, x):
+                spec = (tp_spec(path, x.shape, 2)
+                        if getattr(x, "ndim", 0) else REPLICATED_SPEC)
+                return NamedSharding(mesh, spec)
+
+            p = jax.device_put(
+                params, jax.tree_util.tree_map_with_path(p_shard, params))
+            specs = [str(s.spec) for s in jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map_with_path(p_shard, params))]
+            assert any("model" in s for s in specs), specs[:5]
+        sampler = GenerationSampler(model, p, info)
+        md = {m: {k: np.array(v) for k, v in d.items()}
+              for m, d in sample.items()}
+        out = sampler.generate(md, schedule, top_p=0.8, top_k=0.0, seed=3)
+        return np.asarray(out["tok_gaze"]["tensor"])
+
+    single = run(tp=False)
+    tp = run(tp=True)
+    np.testing.assert_array_equal(single, tp)
+
+
+def test_eval_cli_tensor_parallel_wiring():
+    """eval_model_* --tensor_parallel N: flag parses, params get model-axis
+    shardings, the shard_map flash mesh is registered, and the stock GSPMD
+    flash path is disabled (it can't partition Pallas custom calls)."""
+    import egom2p_tpu.ops.flash_attention as fa
+    from egom2p_tpu.cli.eval_common import (_tensor_parallel_params,
+                                            build_argparser)
+    from egom2p_tpu.ops.attention import set_tp_flash_mesh, tp_flash_mesh
+
+    args = build_argparser("x").parse_args(["--tensor_parallel", "2"])
+    assert args.tensor_parallel == 2
+
+    params = {"encoder": {"qkv": {"kernel": jnp.zeros((64, 192))},
+                          "norm": {"scale": jnp.zeros((64,))}}}
+    try:
+        out = _tensor_parallel_params(params, 2)
+        assert "model" in str(out["encoder"]["qkv"]["kernel"].sharding.spec)
+        assert tp_flash_mesh() is not None
+        assert not fa.supports_flash()  # stock path off under TP serving
+    finally:
+        set_tp_flash_mesh(None)
+        fa.disable_flash(False)
