@@ -47,6 +47,13 @@ struct Reader {
     if (!dec) return -4;
     if (avcodec_parameters_to_context(dec, fmt->streams[stream_idx]->codecpar) < 0)
       return -5;
+    // decode-side threading: frame threads pipeline whole frames across
+    // cores (the big win for h264/hevc), slice threads split within one.
+    // thread_count 0 = one per core; a no-op on single-core dev boxes but
+    // ~cores x faster ingest on real TPU-host CPUs (SURVEY §7 "host ingest
+    // throughput" hard part).
+    dec->thread_count = 0;
+    dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (avcodec_open2(dec, codec, nullptr) < 0) return -6;
     return 0;
   }
