@@ -67,26 +67,18 @@ def _tensor_parallel_params(params, n: int):
     replicated, and the shard_map flash64 routing registered
     (models/transformer.py:_tp_shard_mapped).  Exceeds the reference, which
     serves single-GPU only."""
-    from jax.sharding import NamedSharding
-
-    from egom2p_tpu.core.mesh import REPLICATED_SPEC, MeshConfig, make_mesh
+    from egom2p_tpu.core.mesh import MeshConfig, make_mesh
     from egom2p_tpu.ops.attention import set_tp_flash_mesh
     from egom2p_tpu.ops.flash_attention import disable_flash
-    from egom2p_tpu.train.egom2p_train import tp_spec
+    from egom2p_tpu.train.egom2p_train import tp_param_shardings
 
     devs = jax.devices()
-    assert len(devs) >= n, f"--tensor_parallel {n} > {len(devs)} devices"
+    if len(devs) < n:  # not assert: must survive python -O with a clear msg
+        raise SystemExit(f"--tensor_parallel {n} > {len(devs)} devices")
     disable_flash()  # GSPMD can't partition the stock Pallas custom calls
     mesh = make_mesh(MeshConfig(replica=1, data=1, model=n), devices=devs[:n])
     set_tp_flash_mesh(mesh)
-
-    def p_shard(path, x):
-        spec = (tp_spec(path, x.shape, n)
-                if getattr(x, "ndim", 0) else REPLICATED_SPEC)
-        return NamedSharding(mesh, spec)
-
-    return jax.device_put(params,
-                          jax.tree_util.tree_map_with_path(p_shard, params))
+    return jax.device_put(params, tp_param_shardings(mesh, params, n))
 
 
 def load_main_model(args):

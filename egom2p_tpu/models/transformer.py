@@ -82,19 +82,21 @@ def _tp_shard_mapped(mesh, call, q, k, v, mask_arr):
     Attention is head-parallel, so sharding channels (= whole heads) over
     the 'model' axis needs no collectives inside the kernel; batch stays
     split over the data axes and the (B, N|M) mask row is replicated across
-    the model axis (check_rep=False: masks are replicated, outputs are not)."""
-    from jax.experimental.shard_map import shard_map
+    the model axis."""
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     batch = tuple(a for a in ("replica", "data") if a in mesh.axis_names)
     xs = P(batch, None, "model")
+    # check_vma=False: the Pallas kernels' out_shape ShapeDtypeStructs carry
+    # no varying-mesh-axes annotation, which the new checker requires
     if mask_arr is None:
         return shard_map(lambda a, b, c: call(a, b, c, None), mesh=mesh,
                          in_specs=(xs, xs, xs), out_specs=xs,
-                         check_rep=False)(q, k, v)
+                         check_vma=False)(q, k, v)
     ms = P(batch, None)
     return shard_map(call, mesh=mesh, in_specs=(xs, xs, xs, ms),
-                     out_specs=xs, check_rep=False)(q, k, v, mask_arr)
+                     out_specs=xs, check_vma=False)(q, k, v, mask_arr)
 
 
 def _try_flash64(q, k, v, mask, num_heads, softmax1):

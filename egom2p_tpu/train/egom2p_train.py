@@ -162,6 +162,21 @@ def tp_spec(path, shape, n_shard: int) -> P:
     return REPLICATED_SPEC
 
 
+def tp_param_shardings(mesh: Mesh, params, n_shard: int):
+    """NamedSharding tree for a bare param pytree under tensor parallelism:
+    tp_spec rule per array leaf, everything else replicated.  The single
+    source of truth for TP param placement outside the optimizer state —
+    used by the eval/serving CLIs and the sharding tests."""
+    repl = NamedSharding(mesh, REPLICATED_SPEC)
+
+    def leaf(path, x):
+        if not getattr(x, "ndim", 0):
+            return repl
+        return NamedSharding(mesh, tp_spec(path, x.shape, n_shard))
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
 def state_shardings(mesh: Mesh, state: TrainState,
                     fsdp: bool = False, tp: bool = False) -> TrainState:
     """Param/optimizer-state shardings.

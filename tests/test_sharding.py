@@ -93,7 +93,7 @@ def test_vqvae_codebook_sync_shard_map():
     all_reduce'd EMA, quantize_lucid.py:91-135)."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from egom2p_tpu.ops.vq import VQConfig, init_vq_state, vq_forward
 
     cfg = VQConfig(codebook_size=16, dim=4, decay=0.9,
@@ -117,7 +117,7 @@ def test_vqvae_codebook_sync_shard_map():
         in_specs=(jax.tree_util.tree_map(lambda _: P(), state),
                   P(("replica", "data"))),
         out_specs=jax.tree_util.tree_map(lambda _: P(), state),
-        check_rep=False)
+        check_vma=False)  # psum covers 'data' only; replica variance is ours
     sh_state = sharded(state, x)
     assert np.allclose(np.asarray(ref_state.embed), np.asarray(sh_state.embed),
                        atol=1e-5)
@@ -329,9 +329,8 @@ def test_tp_shard_mapped_flash64_matches_dense(monkeypatch):
     import egom2p_tpu.ops.flash_attention as fa
     from egom2p_tpu.models.transformer import _try_flash64
     from egom2p_tpu.ops import attention as attn_mod
-    from egom2p_tpu.train.egom2p_train import tp_spec
     from jax.sharding import NamedSharding
-    from egom2p_tpu.core.mesh import BATCH_SPEC, REPLICATED_SPEC
+    from egom2p_tpu.core.mesh import BATCH_SPEC
     from tests.test_model import make_mod_dict as _mmd
 
     # all four modalities at REAL sizes (tests.test_model's scaled registry
@@ -366,13 +365,8 @@ def test_tp_shard_mapped_flash64_matches_dense(monkeypatch):
     mesh = make_mesh(MeshConfig(replica=1, data=-1, model=2))
     attn_mod.set_tp_flash_mesh(mesh)
     try:
-        def p_shard(path, x):
-            spec = (tp_spec(path, x.shape, 2)
-                    if getattr(x, "ndim", 0) else REPLICATED_SPEC)
-            return NamedSharding(mesh, spec)
-
-        p = jax.device_put(params,
-                           jax.tree_util.tree_map_with_path(p_shard, params))
+        from egom2p_tpu.train.egom2p_train import tp_param_shardings
+        p = jax.device_put(params, tp_param_shardings(mesh, params, 2))
         b = jax.device_put(md, NamedSharding(mesh, BATCH_SPEC))
         l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(p, b)
 
