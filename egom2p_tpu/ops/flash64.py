@@ -155,7 +155,7 @@ def flash64_attention(
     and exact-divisor kv blocks (_divisor_block)."""
     B, N, C = q.shape
     M = k.shape[1]
-    assert C % 128 == 0, "flash64 needs an even number of 64-dim heads"
+    if C % 128: raise ValueError("flash64 needs an even count of 64-dim heads")  # noqa: E701
     n_pairs = C // 128
     import os
     if not bq:

@@ -436,11 +436,11 @@ def flash64_train_attention(
     `segments` same-segment self-attention (ops/attention.py:SegmentMask).
     """
     N, M = q.shape[1], k.shape[1]
-    assert q.shape[-1] % 128 == 0, \
-        "flash64_train needs an even number of 64-dim heads"
+    if q.shape[-1] % 128:  # explicit raise: survives python -O
+        raise ValueError("flash64_train needs an even count of 64-dim heads")
     if segments is not None:
-        assert kv_blocked is None, "kv_blocked and segments are exclusive"
-        assert N == M, "segment mode is self-attention only"
+        if kv_blocked is not None: raise ValueError("kv_blocked and segments are exclusive")  # noqa: E701
+        if N != M: raise ValueError("segment mode is self-attention only")  # noqa: E701
     bq = _blocks(N, 512, "EGOM2P_F64T_BQ")
     bk = _blocks(M, 512, "EGOM2P_F64T_BK")
     kvb_f = (None if kv_blocked is None
