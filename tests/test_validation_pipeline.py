@@ -154,3 +154,27 @@ def test_tar_val_section_builds_loaders(tmp_path):
     total_in = sum((~np.asarray(fb[m]["input_mask"])).sum(1) for m in fb)
     # tok_cam clamps at 30 tokens; totals land in [30, 32]
     assert (total_in <= 32).all() and (total_in >= 30).all()
+
+
+@pytest.mark.slow
+def test_training_cli_tensor_parallel(tmp_path):
+    """--tensor_parallel 2 end-to-end on the CPU mesh: the trainer builds
+    the model-axis mesh, registers the shard_map flash mesh, keeps the
+    stock GSPMD flash path off, and finishes a tiny epoch with finite
+    losses in log.txt."""
+    import run_training_egom2p as T
+    import egom2p_tpu.ops.flash_attention as fa
+    from egom2p_tpu.ops.attention import set_tp_flash_mesh, tp_flash_mesh
+
+    args = _tiny_args(tmp_path, extra=["--tensor_parallel", "2"])
+    try:
+        T.main(args)
+        assert tp_flash_mesh() is not None  # shard_map flash registered
+        assert not fa.supports_flash()      # stock GSPMD flash disabled
+    finally:
+        set_tp_flash_mesh(None)             # don't leak into other tests
+        fa.disable_flash(False)
+    records = [json.loads(l)
+               for l in (tmp_path / "out" / "log.txt").read_text().splitlines()]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses), records
