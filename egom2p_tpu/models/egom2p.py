@@ -327,8 +327,22 @@ class EgoM2P(nn.Module):
 
         Computes sum(CE * w) and sum(w) with (chunk, V) logits tiles so the
         full (B*M, 64000) logits matrix never exists in HBM.
+
+        EGOM2P_CE_SKIP=1 additionally skips chunks whose weights are all
+        zero — rows belonging to OTHER modalities, roughly half of them for
+        each 64k video head — via lax.cond (their contribution and
+        gradients are exactly zero either way).  Off by default: the cond
+        makes the SPMD partitioner re-materialize captured activations
+        around the branch (compile warnings on the mesh legs), so it must
+        earn its keep in a measured A/B before becoming the default.
+        EGOM2P_CE_CHUNK overrides the tile size: smaller tiles skip a
+        larger fraction of the off-modality spans at the cost of more scan
+        iterations.
         """
+        import os
         emb_mod = self.decoder_embeddings[mod]
+        chunk = int(os.environ.get("EGOM2P_CE_CHUNK", "0")) or chunk
+        skip = os.environ.get("EGOM2P_CE_SKIP", "0") == "1"
         D = y.shape[-1]
         yf = y.reshape(-1, D)
         w = weights.reshape(-1).astype(jnp.float32)
@@ -349,10 +363,20 @@ class EgoM2P(nn.Module):
         @jax.checkpoint
         def body(carry, inp):
             y_c, t_c, w_c = inp
-            logits = emb_mod.forward_logits(y_c)  # (chunk, V) fp32
-            logz = jax.nn.logsumexp(logits, axis=-1)
-            gold = jnp.take_along_axis(logits, t_c[:, None], axis=-1)[:, 0]
-            return carry + jnp.sum((logz - gold) * w_c), None
+
+            def live(_):
+                logits = emb_mod.forward_logits(y_c)  # (chunk, V) fp32
+                logz = jax.nn.logsumexp(logits, axis=-1)
+                gold = jnp.take_along_axis(logits, t_c[:, None], axis=-1)[:, 0]
+                return jnp.sum((logz - gold) * w_c)
+
+            if skip:
+                contrib = jax.lax.cond(jnp.any(w_c > 0), live,
+                                       lambda _: jnp.zeros((), jnp.float32),
+                                       None)
+            else:
+                contrib = live(None)
+            return carry + contrib, None
 
         total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (yc, tc, wc))
         return total, jnp.sum(w)

@@ -145,3 +145,38 @@ def test_mask_gather_keeps_unmasked_first():
     assert kept_valid == min(8, n_unmasked_src)
     # padded slots marked -1
     assert bool((np.asarray(mod_ids)[0][np.asarray(mask)[0, 0]] == -1).all())
+
+
+def test_chunked_ce_chunk_size_invariant(monkeypatch):
+    """The lax.cond chunk-skip in _chunked_masked_ce must leave loss AND
+    parameter gradients invariant to the tile size up to fp reassociation
+    (skipped all-zero-weight chunks contribute exactly zero either way;
+    different tile sizes reassociate the scan/logsumexp accumulations)."""
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                         in_domains=MODS4, out_domains=MODS4,
+                         modality_info=MODALITY_INFO)
+    rng = np.random.default_rng(3)
+    md = make_mod_dict(rng, batch=2, mods=MODS4, n_in=24, n_tgt=24)
+    params = model.init(jax.random.PRNGKey(0), md, 24, 24)
+
+    def loss_fn(p):
+        loss, _ = model.apply(p, md, 24, 24, "mod")
+        return loss
+
+    results = {}
+    # (chunk, skip): default no-skip vs cond-skip at two tile sizes
+    # (48 decoder rows -> padding, fully-skipped and partial chunks)
+    for chunk, sk in (("0", "0"), ("8", "1"), ("64", "1")):
+        monkeypatch.setenv("EGOM2P_CE_CHUNK", chunk)
+        monkeypatch.setenv("EGOM2P_CE_SKIP", sk)
+        results[(chunk, sk)] = jax.jit(jax.value_and_grad(loss_fn))(params)
+    monkeypatch.delenv("EGOM2P_CE_CHUNK")
+    monkeypatch.delenv("EGOM2P_CE_SKIP")
+    (l_ref, g_ref) = results[("0", "0")]
+    for key in (("8", "1"), ("64", "1")):
+        l_k, g_k = results[key]
+        np.testing.assert_allclose(float(l_k), float(l_ref), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), atol=1e-4)
