@@ -389,3 +389,41 @@ def test_tp_shard_mapped_flash64_matches_dense(monkeypatch):
         assert _try_flash64(q6, q6, q6, kp6, 6, False) is None
     finally:
         attn_mod.set_tp_flash_mesh(None)
+
+
+def test_tp_sharded_checkpoint_restores_across_topologies(tmp_path):
+    """A TrainState saved while TP-sharded (model axis 2) must restore
+    bit-exact as host numpy with no mesh at all (elastic resume: the
+    reference's auto_load_model never depends on world size), and onto a
+    different sharding (replicated DP) via the target path."""
+    from egom2p_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from egom2p_tpu.core.mesh import MeshConfig
+    from egom2p_tpu.train.egom2p_train import tp_param_shardings
+
+    mesh = make_mesh(MeshConfig(replica=1, data=-1, model=2))
+    rng = np.random.default_rng(0)
+    params = {"qkv": {"kernel": jnp.asarray(rng.normal(size=(64, 192)),
+                                            jnp.float32)},
+              "norm": {"scale": jnp.asarray(rng.normal(size=(64,)),
+                                            jnp.float32)}}
+    sharded = jax.device_put(params, tp_param_shardings(mesh, params, 2))
+    assert "model" in str(sharded["qkv"]["kernel"].sharding.spec)
+    path = save_checkpoint(str(tmp_path), "tp", sharded)
+
+    # 1) host-numpy restore, no mesh/topology required
+    restored = load_checkpoint(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 2) restore onto a different (replicated) sharding via target
+    from jax.sharding import NamedSharding
+    from egom2p_tpu.core.mesh import REPLICATED_SPEC
+    repl = NamedSharding(make_mesh(), REPLICATED_SPEC)
+    target = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=repl),
+        params)
+    restored2 = load_checkpoint(path, target=target)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
