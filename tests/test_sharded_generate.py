@@ -102,9 +102,27 @@ def test_tp_sharded_generation_matches_single_device():
     # row-parallel matmuls psum partial products, reassociating the fp32
     # accumulation vs the unsharded dot — logits agree to ulps, so sampled
     # ids match except where two candidates are near-tied.  Require near-
-    # total agreement instead of bitwise equality.
+    # total agreement instead of bitwise equality...
     mismatch = np.mean(single != tp)
     assert mismatch <= 0.02, f"TP generation diverged: {mismatch:.1%}"
+
+    # ...and pin the numerics with a principled float-level check: the
+    # encoder context under TP must match the unsharded forward to fp32
+    # reassociation noise (a real sharding corruption is orders of
+    # magnitude larger than reassociation ulps)
+    from egom2p_tpu.models.egom2p import EgoM2P
+
+    md_dev = {m: {k: jnp.asarray(v) for k, v in d.items()}
+              for m, d in sample.items()}
+    def ctx(p):
+        c, _ = model.apply(p, md_dev, 16, method=EgoM2P.forward_enc_context)
+        return c
+    mesh = make_mesh(MeshConfig(replica=1, data=1, model=2),
+                     devices=jax.devices()[:2])
+    p_tp = jax.device_put(params, tp_param_shardings(mesh, params, 2))
+    c_ref = np.asarray(jax.jit(ctx)(params), np.float32)
+    c_tp = np.asarray(jax.jit(ctx)(p_tp), np.float32)
+    np.testing.assert_allclose(c_tp, c_ref, atol=1e-4, rtol=1e-4)
 
 
 def test_eval_cli_tensor_parallel_wiring():

@@ -213,24 +213,22 @@ def test_tensor_parallel_matches_replicated():
 
     from jax.sharding import NamedSharding
     from egom2p_tpu.core.mesh import BATCH_SPEC, REPLICATED_SPEC
-    from egom2p_tpu.train.egom2p_train import tp_spec as _tp_spec
 
     def loss_fn(p, b):
         loss, _ = model.apply(p, b, 24, 24, "mod")
         return loss
 
+    from egom2p_tpu.train.egom2p_train import tp_param_shardings
+
     results = {}
     for tp in (False, True):
         mesh = make_mesh(MeshConfig(replica=1, data=-1,
                                     model=2 if tp else 1))
-
-        def p_shard(path, x):
-            spec = (_tp_spec(path, x.shape, 2)
-                    if tp and getattr(x, "ndim", 0) else REPLICATED_SPEC)
-            return NamedSharding(mesh, spec)
-
-        p = jax.device_put(params,
-                           jax.tree_util.tree_map_with_path(p_shard, params))
+        shardings = (tp_param_shardings(mesh, params, 2) if tp else
+                     jax.tree_util.tree_map(
+                         lambda _: NamedSharding(mesh, REPLICATED_SPEC),
+                         params))
+        p = jax.device_put(params, shardings)
         b = jax.device_put(batch, NamedSharding(mesh, BATCH_SPEC))
         loss, grads = jax.jit(jax.value_and_grad(loss_fn))(p, b)
         results[tp] = (float(loss),
