@@ -10,7 +10,11 @@ XLA-fused gradient psum (reference anchor: 256xH100 DDP,
 README_TRAINING.md:45).
 
 Prints ONE JSON line.  Not the driver's headline bench (that is bench.py);
-run manually: python bench_train.py [BATCH=8 STEPS=5]
+run manually: python bench_train.py [BATCH=8 STEPS=5 REMAT=1 ACCUM=1]
+
+REMAT=0 disables per-block activation checkpointing; ACCUM=k runs k
+gradient-accumulation micro-batches of BATCH/k samples inside the jitted
+step (lax.scan) — the knobs for trading recompute against activation HBM.
 """
 import json
 import os
@@ -54,11 +58,13 @@ def main():
     t_setup = time.time()
     B = int(os.environ.get("BATCH", "8"))
     steps = int(os.environ.get("STEPS", "5"))
+    remat = os.environ.get("REMAT", "1") != "0"
+    accum = int(os.environ.get("ACCUM", "1"))
     MODS = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
     # per-block remat, as the training CLI defaults to (--use_act_checkpoint):
     # without it the B=8 step needs ~25GB of activation HBM
     model = create_model("egom2p_base_12e_12d_swiglu_nobias", MODS, MODS,
-                         use_act_checkpoint=True)
+                         use_act_checkpoint=remat)
     rng = np.random.default_rng(0)
     batch = make_mod_dict(rng, batch=B, mods=MODS, n_in=2048, n_tgt=2048,
                           info=MODALITY_INFO)
@@ -67,7 +73,8 @@ def main():
         k, batch, 2048, 2048))(jax.random.PRNGKey(0))
     opt = optax.adamw(1e-4, weight_decay=0.05)
     state = init_train_state(params, opt)
-    step = jax.jit(make_train_step(model, opt, 2048, 2048), donate_argnums=0)
+    step = jax.jit(make_train_step(model, opt, 2048, 2048,
+                                   accum_steps=accum), donate_argnums=0)
 
     key = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, key)  # compile
@@ -92,6 +99,7 @@ def main():
         "model_tflops_per_step": round(fl / steps / 1e12, 2),
         # A/B switch state (ops/flash64_train.py routing; docs/DESIGN.md)
         "flash64_train": os.environ.get("EGOM2P_FLASH64_TRAIN", "1") != "0",
+        "remat": remat, "accum_steps": accum,
     }))
     print(f"# setup+compile {setup_s:.1f}s; {steps} steps in {dt:.2f}s",
           file=sys.stderr)

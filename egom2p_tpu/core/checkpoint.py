@@ -20,14 +20,44 @@ def _ckpt_path(output_dir: str, tag) -> str:
     return os.path.join(os.path.abspath(output_dir), f"checkpoint-{tag}")
 
 
-def save_checkpoint(output_dir: str, tag, state: Any) -> str:
+# One process-wide async checkpointer so at most one save is in flight;
+# a second async save (or wait_for_saves) joins the previous one first.
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(output_dir: str, tag, state: Any,
+                    blocking: bool = True) -> str:
     """Save a pytree under output_dir/checkpoint-{tag} (rank-0 only in
-    multiprocess settings; orbax coordinates internally)."""
+    multiprocess settings; orbax coordinates internally).
+
+    With blocking=False the device->host copy happens now but the disk
+    write runs on a background thread, overlapping the next training
+    steps (the reference's torch.save blocks the loop for the full write,
+    reference: egom2p/utils/checkpoint.py:91-120).  Call wait_for_saves()
+    before relying on the file (and before process exit)."""
     path = _ckpt_path(output_dir, tag)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if blocking:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+    else:
+        ckptr = _async_ckptr()
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async save has committed to disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:

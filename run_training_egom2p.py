@@ -104,6 +104,9 @@ def get_args(argv=None):
                    help="tiny vocab/grid modality registry (CI smoke runs)")
     # Saving / logging
     p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--async_save", type=str2bool, default=True,
+                   help="periodic checkpoint writes on a background thread "
+                        "(the final save always blocks)")
     p.add_argument("--output_dir", default="output/egom2p")
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--no_auto_resume", dest="auto_resume", action="store_false")
@@ -519,8 +522,12 @@ def main(args):
         jsonl.write(record)
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch == args.epochs - 1:
             tag = epoch if epoch != args.epochs - 1 else "final"
-            path = save_checkpoint(args.output_dir, tag, state)
-            print(f"saved {path}")
+            # periodic saves overlap the next epoch's steps (disk write on
+            # a background thread); the final save blocks before exit
+            blocking = epoch == args.epochs - 1 or not args.async_save
+            path = save_checkpoint(args.output_dir, tag, state,
+                                   blocking=blocking)
+            print(f"saved{'' if blocking else ' (async)'} {path}")
         if args.eval_freq and (epoch + 1) % args.eval_freq == 0 and (
                 val_factories or fixed_factories):
             from egom2p_tpu.core.distributed import all_reduce_metrics
@@ -580,6 +587,8 @@ def main(args):
                 jsonl.write({"epoch": epoch, **stats})
                 if wandb_logger:
                     wandb_logger.log(stats, step=int(np.asarray(state.step)))
+    from egom2p_tpu.core.checkpoint import wait_for_saves
+    wait_for_saves()  # join any in-flight async periodic save before exit
     if wandb_logger:
         wandb_logger.finish()
     return state

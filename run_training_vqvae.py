@@ -81,6 +81,9 @@ def get_args(argv=None):
     p.add_argument("--clip_grad", type=float, default=1.0)
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--async_save", type=str2bool, default=True,
+                   help="periodic checkpoint writes on a background thread "
+                        "(the final save always blocks)")
     p.add_argument("--seed", type=int, default=0)
     # Evaluation (reference: run_training_vqvae.py:778-806 --eval_only,
     # :1296-1419 in-training eval launcher)
@@ -735,12 +738,16 @@ def run_train(args):
         jsonl.write(epoch_stats)
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch == args.epochs - 1:
             tag = epoch if epoch != args.epochs - 1 else "final"
-            save_checkpoint(args.output_dir, tag, _state_payload(state))
+            blocking = epoch == args.epochs - 1 or not args.async_save
+            save_checkpoint(args.output_dir, tag, _state_payload(state),
+                            blocking=blocking)
         if video_domain and (
                 epoch == args.epochs - 1
                 or (args.image_log_freq
                     and (epoch + 1) % args.image_log_freq == 0)):
             eval_image_log(args, tok, state, epoch, dataset)
+    from egom2p_tpu.core.checkpoint import wait_for_saves
+    wait_for_saves()  # join any in-flight async periodic save before exit
     return state
 
 

@@ -153,3 +153,28 @@ def test_s3_paths_gated():
     from egom2p_tpu.data.tar_reader import iter_tar_samples
     with pytest.raises(RuntimeError, match="egress"):
         list(iter_tar_samples("s3://bucket/key.tar"))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async (non-blocking) saves commit after wait_for_saves and restore
+    identically; in-flight orbax tmp dirs never win latest_checkpoint."""
+    import jax.numpy as jnp
+    from egom2p_tpu.core.checkpoint import (latest_checkpoint,
+                                            load_checkpoint, save_checkpoint,
+                                            wait_for_saves)
+
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    path = save_checkpoint(str(tmp_path), 2, state, blocking=False)
+    # a second async save joins the first (one in-flight save at a time)
+    path5 = save_checkpoint(str(tmp_path), 5, state, blocking=False)
+    wait_for_saves()
+    assert latest_checkpoint(str(tmp_path)) == path5
+    for p in (path, path5):
+        got = load_checkpoint(p)
+        np.testing.assert_array_equal(got["params"]["w"],
+                                      np.arange(6.0).reshape(2, 3))
+        assert int(got["step"]) == 7
+    # a stale orbax tmp dir (crash mid-async-write) is not a resume target
+    (tmp_path / "checkpoint-9.orbax-checkpoint-tmp-123").mkdir()
+    assert latest_checkpoint(str(tmp_path)) == path5
