@@ -64,15 +64,15 @@ def _pad_axis(x, n, axis):
 
 # ------------------------------------------------------------------ forward
 def _fwd_kernel(bias_ref, segq_ref, q_ref, k_ref, v_ref, o_ref, l2_ref, *,
-                bk: int, n_kv: int, scale: float, mask_mode: str):
+                bk: int, n_kv: int, scale: float, mask_mode: str,
+                safemax: bool = True):
     q = q_ref[0]  # (bq, 128): two heads side by side
     qa, qb = q[:, :64], q[:, 64:]
     bq = q.shape[0]
     if mask_mode == "seg":
         seg_q = segq_ref[0, 0].reshape(bq, 1)
 
-    def kv_step(j, carry):
-        m_a, m_b, l_a, l_b, acc_a, acc_b = carry
+    def scores(j):
         kblk = k_ref[0, pl.ds(j * bk, bk), :]
         dn = (((1,), (1,)), ((), ()))
         s_a = jax.lax.dot_general(qa, kblk[:, :64], dn,
@@ -88,6 +88,47 @@ def _fwd_kernel(bias_ref, segq_ref, q_ref, k_ref, v_ref, o_ref, l2_ref, *,
             bias = jnp.where(seg_q != seg_k, _NEG_INF, 0.0)
             s_a = s_a + bias
             s_b = s_b + bias
+        return s_a, s_b
+
+    if not safemax:
+        # Clamp-only softmax (same contract as ops/flash64.py): no running
+        # max, no rescale — the loop body is dot->exp2->dot and the VPU
+        # work overlaps the MXU.  L2 = log2(l) keeps the backward's
+        # p = exp2(s - L2) recomputation exact.
+        def kv_step_ns(j, carry):
+            l_a, l_b, acc_a, acc_b = carry
+            s_a, s_b = scores(j)
+            p_a = jnp.exp2(jnp.minimum(s_a, 80.0))
+            p_b = jnp.exp2(jnp.minimum(s_b, 80.0))
+            l_a = l_a + p_a.sum(axis=-1, keepdims=True)
+            l_b = l_b + p_b.sum(axis=-1, keepdims=True)
+            vblk = v_ref[0, pl.ds(j * bk, bk), :]
+            acc_a = acc_a + jnp.dot(p_a.astype(vblk.dtype), vblk[:, :64],
+                                    preferred_element_type=jnp.float32)
+            acc_b = acc_b + jnp.dot(p_b.astype(vblk.dtype), vblk[:, 64:],
+                                    preferred_element_type=jnp.float32)
+            return l_a, l_b, acc_a, acc_b
+
+        z1 = jnp.zeros((bq, 1), jnp.float32)
+        z64 = jnp.zeros((bq, 64), jnp.float32)
+        l_a, l_b, acc_a, acc_b = jax.lax.fori_loop(
+            0, n_kv, kv_step_ns, (z1, z1, z64, z64))
+        dead_a = l_a <= 0
+        dead_b = l_b <= 0
+        o_a = jnp.where(dead_a, 0.0, acc_a / jnp.where(l_a > 0, l_a, 1.0))
+        o_b = jnp.where(dead_b, 0.0, acc_b / jnp.where(l_b > 0, l_b, 1.0))
+        o_ref[0] = jnp.concatenate([o_a, o_b], axis=-1).astype(o_ref.dtype)
+        l2_a = jnp.where(dead_a, _DEAD_L2,
+                         jnp.log2(jnp.where(l_a > 0, l_a, 1.0)))
+        l2_b = jnp.where(dead_b, _DEAD_L2,
+                         jnp.log2(jnp.where(l_b > 0, l_b, 1.0)))
+        l2_ref[0, 0] = jnp.concatenate(
+            [l2_a.reshape(1, bq), l2_b.reshape(1, bq)], axis=0)
+        return
+
+    def kv_step(j, carry):
+        m_a, m_b, l_a, l_b, acc_a, acc_b = carry
+        s_a, s_b = scores(j)
         new_m_a = jnp.maximum(m_a, s_a.max(axis=-1, keepdims=True))
         new_m_b = jnp.maximum(m_b, s_b.max(axis=-1, keepdims=True))
         alpha_a = jnp.exp2(m_a - new_m_a)
@@ -277,8 +318,10 @@ def _prep(q, k, kv_blocked, segments, bq, bk):
     return Np, Mp, "none", jnp.zeros((B, 1, 128), jnp.float32), seg_q
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def _fwd(q, k, v, kv_blocked, segments, bq: int, bk: int, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bk", "interpret", "safemax"))
+def _fwd(q, k, v, kv_blocked, segments, bq: int, bk: int, interpret: bool,
+         safemax: bool = True):
     from jax.experimental.pallas import tpu as pltpu
     B, N, C = q.shape
     M = k.shape[1]
@@ -290,7 +333,7 @@ def _fwd(q, k, v, kv_blocked, segments, bq: int, bk: int, interpret: bool):
     grid = (B, n_pairs, Np // bq)
     kernel = functools.partial(_fwd_kernel, bk=bk, n_kv=Mp // bk,
                                scale=(64 ** -0.5) * _LOG2E,
-                               mask_mode=mask_mode)
+                               mask_mode=mask_mode, safemax=safemax)
     o, l2 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -395,21 +438,25 @@ def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
             dv[:, :M].astype(v.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash64_train(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash64_train(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret,
+                   safemax):
     # kv_blocked_f: (B, M) f32 (1.0 = blocked); segments_f: (B, N) f32 ids —
     # both float so the vjp stays all-float (at most one is non-None)
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
-    return _fwd(q, k, v, kvb, segments_f, bq, bk, interpret)[0]
+    return _fwd(q, k, v, kvb, segments_f, bq, bk, interpret, safemax)[0]
 
 
-def _flash64_train_fwd(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret):
+def _flash64_train_fwd(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret,
+                       safemax):
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
-    o, l2 = _fwd(q, k, v, kvb, segments_f, bq, bk, interpret)
+    o, l2 = _fwd(q, k, v, kvb, segments_f, bq, bk, interpret, safemax)
     return o, (q, k, v, kv_blocked_f, segments_f, o, l2)
 
 
-def _flash64_train_bwd(bq, bk, interpret, res, do):
+def _flash64_train_bwd(bq, bk, interpret, safemax, res, do):
+    # safemax only shapes the forward; the backward always recomputes
+    # p = exp2(s - L2), which both forward forms make exact.
     q, k, v, kv_blocked_f, segments_f, o, l2 = res
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
     dq, dk, dv = _bwd(q, k, v, kvb, segments_f, o, l2, do, bq, bk, interpret)
@@ -429,11 +476,18 @@ def flash64_train_attention(
     kv_blocked: Optional[jnp.ndarray] = None,  # (B, M) bool, True = blocked
     segments: Optional[jnp.ndarray] = None,  # (B, N) int segment ids, N == M
     interpret: bool = False,
+    safemax: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Differentiable non-causal attention in projection layout.
 
     Mask forms (mutually exclusive): `kv_blocked` key padding, or
     `segments` same-segment self-attention (ops/attention.py:SegmentMask).
+
+    safemax=None reads EGOM2P_F64T_SAFEMAX (default off = clamp-only
+    forward softmax, the contract documented in ops/flash64.py — exact
+    while attention logits stay within [-87, +55] nats, which training
+    leaves only when already diverging; set EGOM2P_F64T_SAFEMAX=1 to
+    restore the classic running-max forward).
     """
     N, M = q.shape[1], k.shape[1]
     if q.shape[-1] % 128:  # explicit raise: survives python -O
@@ -446,4 +500,6 @@ def flash64_train_attention(
     kvb_f = (None if kv_blocked is None
              else kv_blocked.astype(jnp.float32))
     seg_f = None if segments is None else segments.astype(jnp.float32)
-    return _flash64_train(q, k, v, kvb_f, seg_f, bq, bk, interpret)
+    if safemax is None:
+        safemax = os.environ.get("EGOM2P_F64T_SAFEMAX", "0") == "1"
+    return _flash64_train(q, k, v, kvb_f, seg_f, bq, bk, interpret, safemax)

@@ -96,6 +96,8 @@ def test_block_choosers():
     assert _adaptive_block(6912, (1024, 512), 0.04) == 1024  # 3.7% waste
     assert _adaptive_block(8704, (1024, 512), 0.04) == 512   # 5.9% > 4%
     assert _adaptive_block(8704, (1024, 512), 0.08) == 1024
+    # equal-padding tie (1707 -> 2048 either way) goes to the larger block
+    assert _adaptive_block(1707, (1024, 512), 0.04) == 1024
     # divisor: minimize padded length, tie-break toward larger blocks
     assert _divisor_block(5120, 2560) == 2560  # 2 exact iterations
     assert _divisor_block(6912, 2560) == 2304  # 3 exact iterations
@@ -122,3 +124,39 @@ def test_try_flash64_eligibility_cpu_disabled():
     q = jnp.zeros((1, 512, 128))
     with inference_attention():
         assert _try_flash64(q, q, q, None, 2, False) is None
+
+
+@pytest.mark.parametrize("safemax", [True, False])
+def test_flash64_softmax_modes_match_dense(safemax):
+    """Both softmax modes (classic running-max and the default clamp-only
+    no-shift form) must match the dense path, including under a partial
+    key mask and a wider-than-typical logit spread (4x-scaled queries)."""
+    B, H, N = 2, 2, 256
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = _rand((B, N, H * 64), keys[0]) * 4.0  # logit spread ~ +-40 exp2 units
+    k = _rand((B, N, H * 64), keys[1])
+    v = _rand((B, N, H * 64), keys[2])
+    blocked = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(B, N)) > 0.7)
+    out = flash64_attention(q, k, v, blocked, bq=128, bk=128,
+                            interpret=True, safemax=safemax)
+    ref = _dense_reference(q, k, v, blocked, H)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_flash64_noshift_saturation_is_bounded():
+    """Scores beyond the +80 exp2-unit clamp saturate toward uniform
+    weights over the clamped entries instead of producing inf/nan (the
+    documented out-of-contract behavior of the clamp-only softmax)."""
+    B, H, N = 1, 2, 128
+    keys = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = _rand((B, N, H * 64), keys[0]) * 32.0  # scores far past the clamp
+    k = _rand((B, N, H * 64), keys[1]) * 32.0
+    v = _rand((B, N, H * 64), keys[2])
+    out = np.asarray(flash64_attention(q, k, v, bq=128, bk=128,
+                                       interpret=True, safemax=False),
+                     np.float32)
+    assert np.isfinite(out).all()
+    # every output row is a convex combination of value rows
+    assert np.abs(out).max() <= np.abs(np.asarray(v, np.float32)).max() + 1e-2

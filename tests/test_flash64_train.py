@@ -282,3 +282,32 @@ def test_under_remat():
     g_remat = jax.grad(jax.checkpoint(loss))(q, k, v)
     np.testing.assert_allclose(np.asarray(g_plain, np.float32),
                                np.asarray(g_remat, np.float32), atol=1e-6)
+
+
+@pytest.mark.parametrize("safemax", [True, False])
+def test_fwd_and_grad_parity_softmax_modes(safemax):
+    """Both forward softmax modes (classic running-max and the default
+    clamp-only no-shift form) must match dense forward AND gradients —
+    the no-shift forward emits L2 = log2(l), which the backward's
+    p = exp2(s - L2) must reproduce exactly."""
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    B, H, n, m = 2, 2, 256, 384
+    q, k, v = (_rand(ks[i], (B, nn, H * 64))
+               for i, nn in enumerate((n, m, m)))
+    kvb = jax.random.bernoulli(ks[3], 0.25, (B, m))
+
+    def loss_fast(q, k, v):
+        o = flash64_train_attention(q, k, v, kvb, interpret=True,
+                                    safemax=safemax)
+        return jnp.sum(o.astype(jnp.float32) * jnp.cos(o.astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        o = _dense(q, k, v, kvb, H)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=3e-2, rtol=3e-2)
