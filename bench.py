@@ -98,13 +98,9 @@ def main():
         temps=[0.01], temp_schedules=["constant"], cfg_scales=[2.0],
         cfg_schedules=["constant"], cfg_grow_conditioning=True)
 
-    def one_batch(seed, video_dev, timing=None, sync_stages=False):
-        t0 = time.time()
+    def one_batch(seed, video_dev):
         tokens = vid_tok.forward(video_dev, device_out=True)
         tokens = tokens.reshape(B, -1).astype(jnp.int32)
-        if sync_stages:  # force tokenize completion for honest attribution
-            _ = float(tokens[0, 0])
-        t1 = time.time()
         sample = {"tok_rgb": {
             "tensor": tokens,
             "input_mask": np.zeros((B, 5120), dtype=bool),
@@ -113,9 +109,6 @@ def main():
         init_full_input_modality(sample, MODALITY_INFO, "tok_rgb")
         out = sampler.generate(sample, schedule, top_p=0.8, top_k=0.0,
                                seed=seed)
-        t2 = time.time()
-        if timing is not None:
-            timing.append((t1 - t0, t2 - t1))
         return out["tok_depth"]["tensor"]
 
     # warmup: pays all XLA compiles
@@ -142,10 +135,30 @@ def main():
     dt = time.time() - t0
     clips_per_sec = n * B / dt
 
-    # separate stage-synced pass: the tokenize->generate handoff is async in
-    # the headline run, so per-stage attribution needs a forced sync (which
-    # adds an RTT and is therefore measured outside the headline number)
-    one_batch(n + 1, uploads[0], stage, sync_stages=True)
+    # Per-stage attribution, loop-timed: each stage is dispatched K times
+    # back-to-back with ONE final sync, so the per-batch figure is device
+    # time, not the dev relay's round-trip (a single synced pass was
+    # measured to inflate the ~100 ms tokenize stage to ~850 ms of RTT).
+    K = 4
+    t0 = time.time()
+    for _ in range(K):
+        tokens = vid_tok.forward(uploads[0], device_out=True)
+        tokens = tokens.reshape(B, -1).astype(jnp.int32)
+    _ = int(tokens[0, 0])
+    tok_stage_s = (time.time() - t0) / K
+    sample = {"tok_rgb": {
+        "tensor": tokens,
+        "input_mask": np.zeros((B, 5120), dtype=bool),
+        "target_mask": np.ones((B, 5120), dtype=bool)}}
+    init_empty_target_modality(sample, MODALITY_INFO, "tok_depth", B, 5120)
+    init_full_input_modality(sample, MODALITY_INFO, "tok_rgb")
+    t0 = time.time()
+    for i in range(K):
+        out = sampler.generate(sample, schedule, top_p=0.8, top_k=0.0,
+                               seed=1000 + i)["tok_depth"]["tensor"]
+    _ = int(out[0, 0])
+    gen_stage_s = (time.time() - t0) / K
+    stage.append((tok_stage_s, gen_stage_s))
 
     # Host ingest throughput (SURVEY §7 "hard part"): the native libav
     # decoder's mp4 -> (16,256,256,3) clip rate, measured alone.  On a real

@@ -66,6 +66,11 @@ class EgoM2PConfig:
     # rematerialize each block in the backward pass (reference flag:
     # egom2p_model.py:82); essential on 16GB-HBM chips at batch >= 8
     use_act_checkpoint: bool = False
+    # Matmul compute dtype (params always fp32).  bf16 is the MXU-native
+    # rate and mirrors the reference's autocast-bf16 training
+    # (reference: run_training_egom2p.py:725); norms/softmax/loss still
+    # accumulate fp32.  Pass "float32" for exact-math parity tests.
+    compute_dtype: str = "bfloat16"
 
 
 class EgoM2P(nn.Module):
@@ -79,13 +84,19 @@ class EgoM2P(nn.Module):
     def mod_info(self):
         return self.modality_info if self.modality_info is not None else MODALITY_INFO
 
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.config.compute_dtype)
+
     def setup(self):
         cfg = self.config
         info = self.mod_info
         act = {"gelu": nn.gelu, "silu": nn.silu}[cfg.act]
+        cdtype = self.compute_dtype
 
         self.encoder_embeddings = {
-            mod: make_encoder_embedding(info[mod]["embed_spec"], cfg.dim)
+            mod: make_encoder_embedding(info[mod]["embed_spec"], cfg.dim,
+                                        dtype=cdtype)
             for mod in sorted(self.in_domains)
         }
         self.decoder_embeddings = {
@@ -113,7 +124,7 @@ class EgoM2P(nn.Module):
         common_kwargs = dict(
             num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
             proj_bias=cfg.proj_bias, mlp_bias=cfg.mlp_bias, norm_bias=cfg.norm_bias,
-            gated_mlp=cfg.gated_mlp, qk_norm=cfg.qk_norm, act=act,
+            gated_mlp=cfg.gated_mlp, qk_norm=cfg.qk_norm, act=act, dtype=cdtype,
         )
         dpr_enc = np.linspace(0, cfg.drop_path_rate_encoder, cfg.encoder_depth)
         dpr_dec = np.linspace(0, cfg.drop_path_rate_decoder, cfg.decoder_depth)
@@ -135,15 +146,17 @@ class EgoM2P(nn.Module):
             for i in range(cfg.decoder_depth)
         ]
         self.decoder_norm = LayerNorm(use_bias=cfg.norm_bias, name="decoder_norm")
-        self.decoder_proj_context = nn.Dense(cfg.dim, name="decoder_proj_context")
+        self.decoder_proj_context = nn.Dense(cfg.dim, dtype=cdtype,
+                                             name="decoder_proj_context")
         self.mask_token = self.param("mask_token", init, (1, 1, cfg.dim))
         if cfg.num_register_tokens > 0:
             self.register_tokens = self.param(
                 "register_tokens", init, (1, cfg.num_register_tokens, cfg.dim))
 
     # ------------------------------------------------------- encoder masking
-    def embed_encoder(self, mod_dict, compute_dtype=jnp.bfloat16):
+    def embed_encoder(self, mod_dict, compute_dtype=None):
         """Run per-modality encoder embeddings, in sorted modality order."""
+        compute_dtype = compute_dtype or self.compute_dtype
         out = []
         for mod in sorted(self.in_domains):
             if mod not in mod_dict:
@@ -194,12 +207,13 @@ class EgoM2P(nn.Module):
         return tokens_k, emb_k, encoder_mask, mod_k
 
     # ------------------------------------------------------- decoder masking
-    def embed_decoder(self, mod_dict, compute_dtype=jnp.bfloat16):
+    def embed_decoder(self, mod_dict, compute_dtype=None):
         """Per-modality decoder embed + target assembly, in sorted order.
 
         Returns list of per-modality dicts with keys
         x / emb / mask / ids / attn / length, already seq-shifted
         (reference: egom2p_model.py:285-342)."""
+        compute_dtype = compute_dtype or self.compute_dtype
         info = self.mod_info
         out = []
         for mod in sorted(self.out_domains):
@@ -414,8 +428,9 @@ class EgoM2P(nn.Module):
     # --------------------------------------------------------------- forward
     def __call__(self, mod_dict, num_encoder_tokens: int, num_decoder_tokens: int,
                  loss_type: str = "mod", return_logits: bool = False,
-                 deterministic: bool = True, compute_dtype=jnp.bfloat16):
+                 deterministic: bool = True, compute_dtype=None):
         """Training forward (reference: egom2p_model.py:683-734)."""
+        compute_dtype = compute_dtype or self.compute_dtype
         enc_embeds = self.embed_encoder(mod_dict, compute_dtype)
         encoder_tokens, encoder_emb, encoder_mask, _ = self.forward_mask_encoder(
             enc_embeds, num_encoder_tokens)
@@ -444,8 +459,9 @@ class EgoM2P(nn.Module):
 
     # ------------------------------------------------------ generation hooks
     def forward_enc_context(self, mod_dict, num_encoder_tokens: int,
-                            compute_dtype=jnp.bfloat16):
+                            compute_dtype=None):
         """Encoder pass + context projection, for the generation sampler."""
+        compute_dtype = compute_dtype or self.compute_dtype
         enc_embeds = self.embed_encoder(mod_dict, compute_dtype)
         encoder_tokens, encoder_emb, encoder_mask, _ = self.forward_mask_encoder(
             enc_embeds, num_encoder_tokens)
@@ -455,11 +471,12 @@ class EgoM2P(nn.Module):
 
     def forward_dec_subset_hidden(self, mod_dict, target_mod: str, context,
                                   encoder_mask, ids_keep,
-                                  compute_dtype=jnp.bfloat16):
+                                  compute_dtype=None):
         """Decoder pass over a selected subset of still-masked target
         positions, stopping at the hidden states (before the vocab head);
         used by ROAR/MaskGIT steps
         (reference: egom2p/models/generate.py:630-650, 747-766)."""
+        compute_dtype = compute_dtype or self.compute_dtype
         d = mod_dict[target_mod]
         _, emb, _ = self.decoder_embeddings[target_mod].forward_embed(
             d, self._dec_mod_emb[target_mod], compute_dtype)
@@ -481,9 +498,10 @@ class EgoM2P(nn.Module):
 
     def forward_dec_subset_logits(self, mod_dict, target_mod: str, context,
                                   encoder_mask, ids_keep,
-                                  compute_dtype=jnp.bfloat16):
+                                  compute_dtype=None):
         """Decoder subset pass incl. the vocab head (full logits — prefer the
         hidden/chunked pair above at generation time)."""
+        compute_dtype = compute_dtype or self.compute_dtype
         y = self.forward_dec_subset_hidden(mod_dict, target_mod, context,
                                            encoder_mask, ids_keep,
                                            compute_dtype)
@@ -491,9 +509,10 @@ class EgoM2P(nn.Module):
 
     def forward_dec_autoregressive_logits(self, target_mod: str, out_ids, pos_emb,
                                           context, encoder_mask,
-                                          compute_dtype=jnp.bfloat16):
+                                          compute_dtype=None):
         """One full re-forward of the causal decoder over the current output
         prefix (reference: generate.py:892-903)."""
+        compute_dtype = compute_dtype or self.compute_dtype
         emb_mod = self.decoder_embeddings[target_mod]
         x = jnp.take(emb_mod.token_emb, out_ids, axis=0).astype(compute_dtype)
         cur = out_ids.shape[1]

@@ -19,7 +19,7 @@ Each module maps a modality dict with 'tensor' (+masks) to:
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -183,9 +183,10 @@ class ImagePatchEncoderEmbedding(nn.Module):
     patch_size: int
     image_size: int
     dim: int
+    dtype: Any = None  # matmul compute dtype (params stay fp32)
 
     def setup(self):
-        self.proj = nn.Dense(self.dim, use_bias=False)
+        self.proj = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)
 
     def __call__(self, d: Dict[str, jnp.ndarray], mod_emb: jnp.ndarray,
                  compute_dtype=jnp.bfloat16):
@@ -213,13 +214,14 @@ class SequenceEmbEncoderEmbedding(nn.Module):
     max_sincos_pos_emb: int = 512
     use_bottleneck: bool = False
     bottleneck_dim: int = 64
+    dtype: Any = None  # matmul compute dtype (params stay fp32)
 
     def setup(self):
         if self.use_bottleneck:
-            self.emb_proj_0 = nn.Dense(self.bottleneck_dim)
-            self.emb_proj_1 = nn.Dense(self.dim)
+            self.emb_proj_0 = nn.Dense(self.bottleneck_dim, dtype=self.dtype)
+            self.emb_proj_1 = nn.Dense(self.dim, dtype=self.dtype)
         else:
-            self.emb_proj = nn.Dense(self.dim)
+            self.emb_proj = nn.Dense(self.dim, dtype=self.dtype)
 
     def __call__(self, d, mod_emb, compute_dtype=jnp.bfloat16):
         x = d["tensor"].astype(compute_dtype)  # (B, L, E)
@@ -243,7 +245,7 @@ class SequenceEmbEncoderEmbedding(nn.Module):
         return x, emb
 
 
-def make_encoder_embedding(spec: Dict, dim: int) -> nn.Module:
+def make_encoder_embedding(spec: Dict, dim: int, dtype=None) -> nn.Module:
     kind = spec["kind"]
     if kind in ("video_token", "image_token"):
         return TokenGridEncoderEmbedding(spec["vocab_size"], tuple(spec["grid"]), dim)
@@ -255,12 +257,12 @@ def make_encoder_embedding(spec: Dict, dim: int) -> nn.Module:
     if kind == "image_raw":
         return ImagePatchEncoderEmbedding(
             spec.get("num_channels", 3), spec["patch_size"],
-            spec["image_size"], dim)
+            spec["image_size"], dim, dtype=dtype)
     if kind == "sequence_emb":
         return SequenceEmbEncoderEmbedding(
             spec["max_length"], spec.get("orig_emb_dim", 4096), dim,
             use_bottleneck=spec.get("use_bottleneck", False),
-            bottleneck_dim=spec.get("bottleneck_dim", 64))
+            bottleneck_dim=spec.get("bottleneck_dim", 64), dtype=dtype)
     raise ValueError(kind)
 
 

@@ -11,7 +11,7 @@ converter (egom2p_tpu/compat/torch_convert.py) is a mechanical key mapping.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,13 +45,20 @@ class Mlp(nn.Module):
     act: Callable = nn.gelu
     use_bias: bool = True
     out_dim: Optional[int] = None
+    # compute dtype for the matmuls (params stay fp32).  None = flax
+    # promotion, which with fp32 params means fp32 matmuls — on TPU that
+    # runs the MXU at a fraction of its bf16 rate, so the model passes
+    # bf16 here (EgoM2PConfig.compute_dtype).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype,
+                     name="fc1")(x)
         x = self.act(x)
-        x = nn.Dense(out_dim, use_bias=self.use_bias, name="fc2")(x)
+        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype,
+                     name="fc2")(x)
         return x
 
 
@@ -61,14 +68,18 @@ class GatedMlp(nn.Module):
     hidden_dim: int
     act: Callable = nn.silu
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         hidden = int(2 * self.hidden_dim / 3)
-        gate = nn.Dense(hidden, use_bias=self.use_bias, name="fc1")(x)
-        val = nn.Dense(hidden, use_bias=self.use_bias, name="fc3")(x)
-        return nn.Dense(dim, use_bias=self.use_bias, name="fc2")(self.act(gate) * val)
+        gate = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype,
+                        name="fc1")(x)
+        val = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype,
+                       name="fc3")(x)
+        return nn.Dense(dim, use_bias=self.use_bias, dtype=self.dtype,
+                        name="fc2")(self.act(gate) * val)
 
 
 def _split_heads(x, num_heads):
@@ -184,11 +195,13 @@ class Attention(nn.Module):
     qk_norm: bool = False
     norm_bias: bool = True
     softmax1: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         dim = x.shape[-1]
-        qkv = nn.Dense(dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qk_norm:
             hd = dim // self.num_heads
@@ -198,12 +211,14 @@ class Attention(nn.Module):
             k = per_head(k, LayerNorm(use_bias=self.norm_bias, name="k_norm"))
         fast = _try_flash64(q, k, v, mask, self.num_heads, self.softmax1)
         if fast is not None:
-            return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(fast)
+            return nn.Dense(dim, use_bias=self.proj_bias, dtype=self.dtype,
+                            name="proj")(fast)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if mask is not None and not isinstance(mask, SegmentMask) and mask.ndim == 3:
             mask = mask[:, None]  # add head dim
         out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
-        return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(_merge_heads(out))
+        return nn.Dense(dim, use_bias=self.proj_bias, dtype=self.dtype,
+                        name="proj")(_merge_heads(out))
 
 
 class CrossAttention(nn.Module):
@@ -213,12 +228,15 @@ class CrossAttention(nn.Module):
     qk_norm: bool = False
     norm_bias: bool = True
     softmax1: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context, mask=None):
         dim = x.shape[-1]
-        q = nn.Dense(dim, use_bias=self.qkv_bias, name="q")(x)
-        kv = nn.Dense(dim * 2, use_bias=self.qkv_bias, name="kv")(context)
+        q = nn.Dense(dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="q")(x)
+        kv = nn.Dense(dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                      name="kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
         if self.qk_norm:
             hd = dim // self.num_heads
@@ -228,12 +246,14 @@ class CrossAttention(nn.Module):
             k = per_head(k, LayerNorm(use_bias=self.norm_bias, name="k_norm"))
         fast = _try_flash64(q, k, v, mask, self.num_heads, self.softmax1)
         if fast is not None:
-            return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(fast)
+            return nn.Dense(dim, use_bias=self.proj_bias, dtype=self.dtype,
+                            name="proj")(fast)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if mask is not None and not isinstance(mask, SegmentMask) and mask.ndim == 3:
             mask = mask[:, None]
         out = masked_attention(q, k, v, mask, softmax1=self.softmax1)
-        return nn.Dense(dim, use_bias=self.proj_bias, name="proj")(_merge_heads(out))
+        return nn.Dense(dim, use_bias=self.proj_bias, dtype=self.dtype,
+                        name="proj")(_merge_heads(out))
 
 
 def _drop_path(x, rate: float, deterministic: bool, rng):
@@ -258,18 +278,21 @@ class Block(nn.Module):
     qk_norm: bool = False
     act: Callable = nn.gelu
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         dim = x.shape[-1]
         attn = Attention(self.num_heads, self.qkv_bias, self.proj_bias,
-                         self.qk_norm, self.norm_bias, name="attn")
+                         self.qk_norm, self.norm_bias, dtype=self.dtype,
+                         name="attn")
         h = attn(LayerNorm(use_bias=self.norm_bias, name="norm1")(x), mask)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
         x = x + h
         mlp_cls = GatedMlp if self.gated_mlp else Mlp
         h = mlp_cls(int(dim * self.mlp_ratio), act=self.act, use_bias=self.mlp_bias,
+                    dtype=self.dtype,
                     name="mlp")(LayerNorm(use_bias=self.norm_bias, name="norm2")(x))
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
@@ -288,18 +311,21 @@ class DecoderBlock(nn.Module):
     qk_norm: bool = False
     act: Callable = nn.gelu
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context, sa_mask=None, xa_mask=None, deterministic: bool = True):
         dim = x.shape[-1]
         h = Attention(self.num_heads, self.qkv_bias, self.proj_bias,
-                      self.qk_norm, self.norm_bias, name="self_attn")(
+                      self.qk_norm, self.norm_bias, dtype=self.dtype,
+                      name="self_attn")(
             LayerNorm(use_bias=self.norm_bias, name="norm1")(x), sa_mask)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))
         x = x + h
         h = CrossAttention(self.num_heads, self.qkv_bias, self.proj_bias,
-                           self.qk_norm, self.norm_bias, name="cross_attn")(
+                           self.qk_norm, self.norm_bias, dtype=self.dtype,
+                           name="cross_attn")(
             LayerNorm(use_bias=self.norm_bias, name="query_norm")(x),
             LayerNorm(use_bias=self.norm_bias, name="context_norm")(context),
             xa_mask)
@@ -308,6 +334,7 @@ class DecoderBlock(nn.Module):
         x = x + h
         mlp_cls = GatedMlp if self.gated_mlp else Mlp
         h = mlp_cls(int(dim * self.mlp_ratio), act=self.act, use_bias=self.mlp_bias,
+                    dtype=self.dtype,
                     name="mlp")(LayerNorm(use_bias=self.norm_bias, name="norm2")(x))
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic, self.make_rng("dropout"))

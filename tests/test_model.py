@@ -154,7 +154,8 @@ def test_chunked_ce_chunk_size_invariant(monkeypatch):
     different tile sizes reassociate the scan/logsumexp accumulations)."""
     model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
                          in_domains=MODS4, out_domains=MODS4,
-                         modality_info=MODALITY_INFO)
+                         modality_info=MODALITY_INFO,
+                         compute_dtype="float32")  # exact-math identity test
     rng = np.random.default_rng(3)
     md = make_mod_dict(rng, batch=2, mods=MODS4, n_in=24, n_tgt=24)
     params = model.init(jax.random.PRNGKey(0), md, 24, 24)
