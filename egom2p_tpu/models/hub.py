@@ -23,7 +23,7 @@ _CONFIG_KEYS = (
     "dim", "encoder_depth", "decoder_depth", "num_heads", "mlp_ratio",
     "qkv_bias", "proj_bias", "mlp_bias", "norm_bias", "gated_mlp", "qk_norm",
     "decoder_causal_mask", "decoder_sep_mask", "num_register_tokens",
-    "share_modality_embeddings", "use_act_checkpoint",
+    "share_modality_embeddings", "use_act_checkpoint", "remat_policy",
 )
 
 

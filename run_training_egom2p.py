@@ -49,8 +49,14 @@ def get_args(argv=None):
                         "TP>1 runs attention on the XLA path (the Pallas "
                         "flash custom call cannot be GSPMD-partitioned)")
     p.add_argument("--use_act_checkpoint", type=str2bool, default=True,
-                   help="rematerialize blocks in backward (needed at batch>=8 "
-                        "on 16GB chips)")
+                   help="rematerialize blocks in backward; with bf16 compute "
+                        "batch 8 fits a 16GB chip without it (+14% step "
+                        "throughput) — keep on for larger batches/budgets")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="remat granularity: full recomputes whole blocks, "
+                        "dots saves matmul outputs and recomputes only "
+                        "elementwise ops (less recompute, more HBM)")
     # Train
     p.add_argument("--epochs", type=int, default=-1)
     p.add_argument("--total_tokens", type=float, default=500,
@@ -432,7 +438,8 @@ def main(args):
                          out_domains=all_domains,
                          modality_info=model_info,
                          num_register_tokens=args.num_register_tokens,
-                         use_act_checkpoint=bool(args.use_act_checkpoint))
+                         use_act_checkpoint=bool(args.use_act_checkpoint),
+                         remat_policy=args.remat_policy)
 
     loader_it = iter(loader)
     first_batch = next(loader_it)

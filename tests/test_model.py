@@ -181,3 +181,38 @@ def test_chunked_ce_chunk_size_invariant(monkeypatch):
                         jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32), atol=1e-4)
+
+
+def test_remat_policies_preserve_loss_and_grads():
+    """Activation checkpointing is a memory/speed knob only: loss and
+    gradients must be identical (fp32 exact math) across no-remat, full
+    per-block remat, and the selective dots-saveable policy."""
+    rng = np.random.default_rng(5)
+    md = make_mod_dict(rng, batch=2, mods=MODS4, n_in=24, n_tgt=24)
+
+    results = {}
+    for name, kw in (("none", dict(use_act_checkpoint=False)),
+                     ("full", dict(use_act_checkpoint=True,
+                                   remat_policy="full")),
+                     ("dots", dict(use_act_checkpoint=True,
+                                   remat_policy="dots"))):
+        model = create_model("egom2p_tiny_6e_6d_swiglu_nobias",
+                             in_domains=MODS4, out_domains=MODS4,
+                             modality_info=MODALITY_INFO,
+                             compute_dtype="float32", **kw)
+        params = model.init(jax.random.PRNGKey(0), md, 24, 24)
+
+        def loss_fn(p):
+            loss, _ = model.apply(p, md, 24, 24, "mod")
+            return loss
+
+        results[name] = jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    l_ref, g_ref = results["none"]
+    for name in ("full", "dots"):
+        l_k, g_k = results[name]
+        np.testing.assert_allclose(float(l_k), float(l_ref), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), atol=1e-5)
