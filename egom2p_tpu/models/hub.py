@@ -24,6 +24,7 @@ _CONFIG_KEYS = (
     "qkv_bias", "proj_bias", "mlp_bias", "norm_bias", "gated_mlp", "qk_norm",
     "decoder_causal_mask", "decoder_sep_mask", "num_register_tokens",
     "share_modality_embeddings", "use_act_checkpoint", "remat_policy",
+    "compute_dtype",
 )
 
 

@@ -64,6 +64,22 @@ _LOG2E = math.log2(math.e)
 _NEG_INF = -1e30
 
 
+def _block_scores(qa, qb, bias_ref, k_ref, j, *, bk, scale, have_bias):
+    """Per-kv-block biased scores, shared by both softmax forms: the paired
+    hd-64 contractions plus the additive mask-bias row."""
+    dn = (((1,), (1,)), ((), ()))  # contract the 64-dim head axis
+    kblk = k_ref[0, pl.ds(j * bk, bk), :]  # (bk, 128)
+    s_a = jax.lax.dot_general(qa, kblk[:, :64], dn,
+                              preferred_element_type=jnp.float32) * scale
+    s_b = jax.lax.dot_general(qb, kblk[:, 64:], dn,
+                              preferred_element_type=jnp.float32) * scale
+    if have_bias:
+        bias = bias_ref[0, 0, pl.ds(j * bk, bk)].reshape(1, bk)
+        s_a = s_a + bias
+        s_b = s_b + bias
+    return s_a, s_b
+
+
 def _kernel_noshift(bias_ref, q_ref, k_ref, v_ref, o_ref, *, bk: int,
                     n_kv: int, scale: float, have_bias: bool):
     """Clamp-only softmax: p = exp2(min(s, 80)), no running max, no
@@ -73,19 +89,11 @@ def _kernel_noshift(bias_ref, q_ref, k_ref, v_ref, o_ref, *, bk: int,
     q = q_ref[0]  # (bq, 128) bf16: two heads side by side
     qa, qb = q[:, :64], q[:, 64:]
     bq = q.shape[0]
-    dn = (((1,), (1,)), ((), ()))
 
     def kv_step(j, carry):
         l_a, l_b, acc_a, acc_b = carry
-        kblk = k_ref[0, pl.ds(j * bk, bk), :]  # (bk, 128)
-        s_a = jax.lax.dot_general(qa, kblk[:, :64], dn,
-                                  preferred_element_type=jnp.float32) * scale
-        s_b = jax.lax.dot_general(qb, kblk[:, 64:], dn,
-                                  preferred_element_type=jnp.float32) * scale
-        if have_bias:
-            bias = bias_ref[0, 0, pl.ds(j * bk, bk)].reshape(1, bk)
-            s_a = s_a + bias
-            s_b = s_b + bias
+        s_a, s_b = _block_scores(qa, qb, bias_ref, k_ref, j, bk=bk,
+                                 scale=scale, have_bias=have_bias)
         p_a = jnp.exp2(jnp.minimum(s_a, 80.0))
         p_b = jnp.exp2(jnp.minimum(s_b, 80.0))
         l_a = l_a + p_a.sum(axis=-1, keepdims=True)
@@ -116,16 +124,8 @@ def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, bk: int, n_kv: int,
 
     def kv_step(j, carry):
         m_a, m_b, l_a, l_b, acc_a, acc_b = carry
-        kblk = k_ref[0, pl.ds(j * bk, bk), :]  # (bk, 128)
-        dn = (((1,), (1,)), ((), ()))  # contract the 64-dim head axis
-        s_a = jax.lax.dot_general(qa, kblk[:, :64], dn,
-                                  preferred_element_type=jnp.float32) * scale
-        s_b = jax.lax.dot_general(qb, kblk[:, 64:], dn,
-                                  preferred_element_type=jnp.float32) * scale
-        if have_bias:
-            bias = bias_ref[0, 0, pl.ds(j * bk, bk)].reshape(1, bk)
-            s_a = s_a + bias
-            s_b = s_b + bias
+        s_a, s_b = _block_scores(qa, qb, bias_ref, k_ref, j, bk=bk,
+                                 scale=scale, have_bias=have_bias)
         new_m_a = jnp.maximum(m_a, s_a.max(axis=-1, keepdims=True))
         new_m_b = jnp.maximum(m_b, s_b.max(axis=-1, keepdims=True))
         alpha_a = jnp.exp2(m_a - new_m_a)
@@ -209,8 +209,6 @@ def _divisor_block(n: int, max_block: int) -> int:
     return best[2]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("bq", "bk", "interpret", "safemax"))
 def flash64_attention(
     q: jnp.ndarray,  # (B, N, H*64), H even
     k: jnp.ndarray,  # (B, M, H*64)
@@ -230,11 +228,12 @@ def flash64_attention(
     softmax; see the module docstring for its numerics contract).  Pass
     True for the classic running-max online softmax — needed only if a
     caller's score range can leave [-126, 80] exp2 units."""
-    B, N, C = q.shape
-    M = k.shape[1]
-    if C % 128: raise ValueError("flash64 needs an even count of 64-dim heads")  # noqa: E701
-    n_pairs = C // 128
+    # env defaults resolve OUTSIDE the jitted core so the jit cache keys on
+    # the resolved values: a later in-process env flip then retraces (a
+    # read inside the core would be baked into the safemax=None cache entry
+    # and the flip silently ignored)
     import os
+    N, M = q.shape[1], k.shape[1]
     if not bq:
         # q-side divisor blocks measured as a wash vs adaptive; keep the
         # simpler adaptive rule (padding only pays for itself under ~4%)
@@ -242,6 +241,20 @@ def flash64_attention(
     if not bk:
         bk = _divisor_block(M, int(os.environ.get("EGOM2P_F64_MAXBK",
                                                   "2560")))
+    if safemax is None:
+        safemax = os.environ.get("EGOM2P_F64_SAFEMAX", "0") == "1"
+    return _flash64_attention_jit(q, k, v, kv_blocked, bq=bq, bk=bk,
+                                  interpret=interpret, safemax=safemax)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bk", "interpret", "safemax"))
+def _flash64_attention_jit(q, k, v, kv_blocked, bq: int, bk: int,
+                           interpret: bool, safemax: bool):
+    B, N, C = q.shape
+    M = k.shape[1]
+    if C % 128: raise ValueError("flash64 needs an even count of 64-dim heads")  # noqa: E701
+    n_pairs = C // 128
     bq = min(bq, max(128, N + (-N % 128)))
     bk = min(bk, max(128, M + (-M % 128)))
     Np = N + (-N % bq)
@@ -264,8 +277,6 @@ def flash64_attention(
     else:
         bias = jnp.zeros((B, 1, 128), jnp.float32)  # unused placeholder
 
-    if safemax is None:
-        safemax = os.environ.get("EGOM2P_F64_SAFEMAX", "0") == "1"
     grid = (B, n_pairs, Np // bq)
     kernel = functools.partial(
         _kernel if safemax else _kernel_noshift, bk=bk, n_kv=Mp // bk,

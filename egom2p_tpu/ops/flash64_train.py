@@ -18,10 +18,13 @@ Layout/semantics:
 
   * q, k, v, o, do: (B, N|M, H*64) bf16 matmul inputs, fp32 accumulation —
     no head transposes anywhere (the projections' natural layout).
-  * Forward additionally emits L2 = m + log2(l) per row (B, n_pairs, 2, N)
-    so the backward recomputes true probabilities as p = exp2(s*log2e - L2)
-    without a second online pass; fully-masked rows store L2 = +BIG so
-    p == 0 and their gradients vanish (matching the dense path's zeros).
+  * Forward additionally emits L2 per row (B, n_pairs, 2, N) — m + log2(l)
+    in safemax mode, log2(l) in clamp-only mode — so the backward
+    recomputes true probabilities as p = exp2(s - L2) (clamp-only: with
+    the same min(s, 80) clamp as the forward, keeping gradient and output
+    consistent at any logit magnitude) without a second online pass;
+    fully-masked rows store L2 = +BIG so p == 0 and their gradients
+    vanish (matching the dense path's zeros).
   * dq pass: KV resident per (batch, head-pair), q-block grid — the two
     hd-64 contractions (scores, dp) use the paired-lane trick; ds @ k
     contracts the full kv block width.
@@ -168,7 +171,7 @@ def _fwd_kernel(bias_ref, segq_ref, q_ref, k_ref, v_ref, o_ref, l2_ref, *,
 # ----------------------------------------------------------------- backward
 def _dq_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
                v_ref, dq_ref, *, bk: int, n_kv: int, scale2: float,
-               nat_scale: float, mask_mode: str):
+               nat_scale: float, mask_mode: str, clamp: bool):
     q = q_ref[0]
     do = do_ref[0]
     qa, qb = q[:, :64], q[:, 64:]
@@ -200,6 +203,11 @@ def _dq_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
             bias = jnp.where(seg_q != seg_k, _NEG_INF, 0.0)
             s_a = s_a + bias
             s_b = s_b + bias
+        if clamp:  # mirror the clamp-only forward EXACTLY (p_fwd / l);
+            # without this, scores past +80 exp2 units would make the
+            # recomputed p disagree with the forward (or overflow to inf)
+            s_a = jnp.minimum(s_a, 80.0)
+            s_b = jnp.minimum(s_b, 80.0)
         p_a = jnp.exp2(s_a - l2_a)  # true probabilities (masked cols -> 0)
         p_b = jnp.exp2(s_b - l2_b)
         dp_a = jax.lax.dot_general(doa, vblk[:, :64], dn,
@@ -223,7 +231,7 @@ def _dq_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
 
 def _dkv_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
                 v_ref, dk_ref, dv_ref, *, bq: int, n_q: int, scale2: float,
-                nat_scale: float, mask_mode: str):
+                nat_scale: float, mask_mode: str, clamp: bool):
     kblk = k_ref[0]  # (bk, 128)
     vblk = v_ref[0]
     bk = kblk.shape[0]
@@ -255,6 +263,9 @@ def _dkv_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
             bias_sq = jnp.where(seg_q != seg_k, _NEG_INF, 0.0)
             s_a = s_a + bias_sq
             s_b = s_b + bias_sq
+        if clamp:  # mirror the clamp-only forward (see _dq_kernel)
+            s_a = jnp.minimum(s_a, 80.0)
+            s_b = jnp.minimum(s_b, 80.0)
         p_a = jnp.exp2(s_a - l2_a)
         p_b = jnp.exp2(s_b - l2_b)
         # dv += p^T @ do (full bq contraction)
@@ -360,9 +371,10 @@ def _fwd(q, k, v, kv_blocked, segments, bq: int, bk: int, interpret: bool,
     return o[:, :N].astype(q.dtype), l2
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bk", "interpret", "safemax"))
 def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
-         interpret: bool):
+         interpret: bool, safemax: bool = True):
     from jax.experimental.pallas import tpu as pltpu
     B, N, C = q.shape
     M = k.shape[1]
@@ -381,7 +393,8 @@ def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
     nat = 64 ** -0.5
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, bk=bk, n_kv=Mp // bk, scale2=scale2,
-                          nat_scale=nat, mask_mode=mask_mode),
+                          nat_scale=nat, mask_mode=mask_mode,
+                          clamp=not safemax),
         grid=(B, n_pairs, Np // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bias.shape[2]), lambda b, h, i: (b, 0, 0)),
@@ -409,7 +422,8 @@ def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
                  pl.BlockSpec((1, 1, bias.shape[2]), lambda b, h, j: (b, 0, 0)))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, bq=bq, n_q=Np // bq, scale2=scale2,
-                          nat_scale=nat, mask_mode=mask_mode),
+                          nat_scale=nat, mask_mode=mask_mode,
+                          clamp=not safemax),
         grid=(B, n_pairs, Mp // bk),
         in_specs=[
             bias_spec,
@@ -455,11 +469,14 @@ def _flash64_train_fwd(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret,
 
 
 def _flash64_train_bwd(bq, bk, interpret, safemax, res, do):
-    # safemax only shapes the forward; the backward always recomputes
-    # p = exp2(s - L2), which both forward forms make exact.
+    # the backward recomputes p with the SAME softmax form as the forward:
+    # safemax -> p = exp2(s - L2) (exact at any logit magnitude);
+    # clamp-only -> p = exp2(min(s, 80) - L2) == p_fwd / l, so forward and
+    # gradient stay mutually consistent even past the clamp contract
     q, k, v, kv_blocked_f, segments_f, o, l2 = res
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
-    dq, dk, dv = _bwd(q, k, v, kvb, segments_f, o, l2, do, bq, bk, interpret)
+    dq, dk, dv = _bwd(q, k, v, kvb, segments_f, o, l2, do, bq, bk, interpret,
+                      safemax)
     dkvb = (None if kv_blocked_f is None
             else jnp.zeros_like(kv_blocked_f))
     dseg = None if segments_f is None else jnp.zeros_like(segments_f)

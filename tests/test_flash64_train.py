@@ -311,3 +311,31 @@ def test_fwd_and_grad_parity_softmax_modes(safemax):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=3e-2, rtol=3e-2)
+
+
+def test_clamp_mode_grads_finite_past_contract():
+    """Clamp-only mode: when scores exceed the +80 exp2-unit clamp, the
+    backward must recompute p with the SAME clamp as the forward — grads
+    stay finite and track the saturated forward (regression: an unclamped
+    recompute gave exp2(s - L2) -> inf -> NaN grads on logit spikes)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    B, H, n = 1, 2, 256
+    # scale 4.0: scores ~ 64 * 16 / 8 * log2(e) ~ 180 exp2 units >> 80
+    q = _rand(ks[0], (B, n, H * 64)) * 4.0
+    k = _rand(ks[1], (B, n, H * 64)) * 4.0
+    v = _rand(ks[2], (B, n, H * 64))
+
+    def loss(q, k, v):
+        o = flash64_train_attention(q, k, v, None, interpret=True,
+                                    safemax=False)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.isfinite(float(val))
+    for g in grads:
+        g = np.asarray(g, np.float32)
+        assert np.isfinite(g).all()
+    # the forward saturates but stays a convex combination of v rows, so
+    # dv (= p^T do) must be bounded by |do| ~ 2|o| <= 2 max|v|
+    dv = np.abs(np.asarray(grads[2], np.float32))
+    assert dv.max() < 4 * float(jnp.abs(v).max()) * n
