@@ -54,14 +54,21 @@ def run(bq, bk):
         g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
         out = g(q, k, v)
         syncarr(out[1][0])
+        # K dispatches per timing rep with ONE final sync: a per-call sync
+        # through the axon relay adds ~25ms RTT and swamps a ~10ms kernel
+        # (the first sweep of this file measured relay latency, not kernels)
+        K = 8
         times = []
-        for _ in range(4):
+        for _ in range(3):
             t0 = time.time()
-            out = g(q, k, v)
-            syncarr(out[1][0])
-            times.append(time.time() - t0)
+            qi = q
+            for _ in range(K):
+                out = g(qi, k, v)
+                qi = out[1][0]  # chain dq -> q: serializes on-device
+            syncarr(qi)
+            times.append((time.time() - t0) / K)
         dt = min(times) * 1000
-        print("mode=%-3s bq=%4d bk=%4d: %6.1f ms  %.1f TF/s"
+        print("mode=%-3s bq=%4d bk=%4d: %6.2f ms  %.1f TF/s"
               % (mode, bq, bk, dt, FL / dt / 1e9), flush=True)
 
 
