@@ -1,0 +1,197 @@
+"""Cosmos DV tokenizer parity at the REAL published DV4x8x8 config.
+
+Round-3 VERDICT item 1: the toy-scale parity tests (channels 16, 9x64x64)
+never exercise the full channel widths, the [2,4,4] mult ladder, z_channels
+16, or a true 17x256x256 clip through the sliding-window path.  These tests
+instantiate the reference `CausalDiscreteVideoTokenizer` at the published
+DV4x8x8 configuration (reference: cosmos_tokenizer/networks/configs.py:123-146
+with the DV4x8x8 checkpoint's 4x temporal / 8x spatial compression, see
+eval_model_rgb2depth.py:23), convert the weights, and drive a real multi-
+window clip through BOTH wrappers:
+
+  * reference: cosmos_tokenizer/video_lib.py:118-152
+    (CausalVideoTokenizer.forward — pad_video_batch + windowed encode)
+  * this repo:  egom2p_tpu/tokenizers/cosmos/video_api.py
+    (CausalVideoTokenizer.forward — in-graph pad + windowed encode)
+
+plus decode-path tolerance at full width and the `legacy_mode=True`
+up/down-ordering branch (reference: cosmos_tokenizer/modules/layers3d.py:992-1008)
+that previously had zero coverage.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+# reuse the reference-import stub machinery (loguru/torchvision/webdataset/...)
+import test_torch_parity  # noqa: F401  side-effect: stubs + sys.path
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+FULL_KWARGS = dict(
+    # published DV config (reference: configs.py:123-146) at the DV4x8x8
+    # checkpoint's compression rates
+    attn_resolutions=[32], channels=128, channels_mult=[2, 4, 4],
+    dropout=0.0, in_channels=3, num_res_blocks=2, out_channels=3,
+    resolution=1024, patch_size=4, patch_method="haar",
+    z_channels=16, z_factor=1, num_groups=1, legacy_mode=False,
+    spatial_compression=8, temporal_compression=4,
+    quantizer="FSQ", embedding_dim=6, levels=[8, 8, 8, 5, 5, 5],
+    encoder="FACTORIZED", decoder="FACTORIZED", name="DV")
+
+
+def _make_pair(tkwargs, jcfg_kwargs):
+    """Random-init the reference torch DV net, convert weights to JAX."""
+    from cosmos_tokenizer.networks.discrete_video import (
+        CausalDiscreteVideoTokenizer as TorchDV)
+    from egom2p_tpu.compat.torch_convert import convert_cosmos_state_dict
+    from egom2p_tpu.tokenizers.cosmos.network import (
+        CausalDiscreteVideoTokenizer as JaxDV, DiscreteVideoConfig)
+
+    torch.manual_seed(0)
+    tmodel = TorchDV(**tkwargs).eval()
+    tmodel.quantizer.dtype = torch.float32  # CPU comparison in fp32
+
+    cfg = DiscreteVideoConfig(**jcfg_kwargs)
+    jmodel = JaxDV(cfg)
+    tc, sc = cfg.temporal_compression, cfg.spatial_compression
+    x0 = jnp.zeros((1, 1 + tc * 2, sc * 4, sc * 4, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: jmodel.init(k, x0), jax.random.PRNGKey(0))
+    params = convert_cosmos_state_dict(tmodel.state_dict(), shapes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return tmodel, jmodel, cfg, params
+
+
+@pytest.fixture(scope="module")
+def full_pair():
+    return _make_pair(FULL_KWARGS, dict())  # DiscreteVideoConfig defaults
+    # == the DV4x8x8 published config (network.py:41-66)
+
+
+def test_full_config_matches_published(full_pair):
+    """The repo's DV4x8x8_CONFIG defaults must equal the published config."""
+    _, _, cfg, _ = full_pair
+    assert cfg.channels == 128
+    assert tuple(cfg.channels_mult) == (2, 4, 4)
+    assert cfg.z_channels == 16
+    assert tuple(cfg.attn_resolutions) == (32,)
+    assert tuple(cfg.levels) == (8, 8, 8, 5, 5, 5)
+    assert cfg.spatial_compression == 8 and cfg.temporal_compression == 4
+
+
+def test_full_config_sliding_window_token_parity(full_pair):
+    """A 20-frame 256x256 uint8 clip (one full 17-frame window + one short
+    padded window) through BOTH sliding-window wrappers must produce >99%
+    identical token indices (reference: video_lib.py:118-152)."""
+    from cosmos_tokenizer.video_lib import CausalVideoTokenizer as RefWrapper
+    from egom2p_tpu.tokenizers.cosmos.video_api import CausalVideoTokenizer
+
+    tmodel, jmodel, cfg, params = full_pair
+
+    # reference wrapper with the live network injected in place of a .jit
+    # checkpoint (no published weights exist in this env)
+    ref = RefWrapper(device="cpu", dtype="float32")
+    ref._enc_model = tmodel.encode
+
+    mine = CausalVideoTokenizer(params, cfg, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 256, size=(1, 20, 256, 256, 3), dtype=np.uint8)
+
+    t_tokens = ref.forward(video.astype(np.float32), temporal_window=17)
+    j_tokens = mine.forward(video, temporal_window=17)
+
+    assert j_tokens.shape == tuple(t_tokens.shape), (
+        j_tokens.shape, t_tokens.shape)
+    # 17-frame window -> 5 latent frames; 3-frame window padded to 9 -> 3
+    assert j_tokens.shape == (1, 8, 32, 32)
+    match = (j_tokens == np.asarray(t_tokens)).mean()
+    assert match > 0.99, f"token match rate {match}"
+
+
+def test_full_config_decode_parity(full_pair):
+    """decode_code at full width: 5x32x32 token grid -> 17x256x256 video,
+    both implementations within fp32 conv tolerance."""
+    tmodel, jmodel, cfg, params = full_pair
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 64000, size=(1, 5, 32, 32)).astype(np.int32)
+
+    with torch.no_grad():
+        t_out = tmodel.decode_code(torch.from_numpy(idx).long())
+    from egom2p_tpu.tokenizers.cosmos.network import (
+        CausalDiscreteVideoTokenizer as JaxDV)
+    j_out = jmodel.apply(params, jnp.asarray(idx), method=JaxDV.decode_code)
+
+    t_out = t_out.float().numpy().transpose(0, 2, 3, 4, 1)
+    j_out = np.asarray(j_out, dtype=np.float32)
+    assert j_out.shape == t_out.shape == (1, 17, 256, 256, 3)
+    # full-width decoder stacks ~30 convs; allow a slightly looser absolute
+    # tolerance than the toy test's 2e-3
+    assert np.abs(j_out - t_out).max() < 5e-3, np.abs(j_out - t_out).max()
+
+
+def test_pad_video_batch_matches_reference():
+    """The host-side pad helper must reproduce the reference's
+    pad_video_batch crop regions and padded frames exactly
+    (reference: cosmos_tokenizer/utils.py:325-380)."""
+    from cosmos_tokenizer.utils import pad_video_batch as ref_pad
+    from egom2p_tpu.tokenizers.cosmos.video_api import pad_video_batch
+
+    rng = np.random.default_rng(2)
+    for t, h, w in ((3, 256, 256), (17, 250, 254), (9, 256, 256),
+                    (1, 100, 100)):
+        v = rng.integers(0, 256, size=(1, t, h, w, 3)).astype(np.float32)
+        rp, rc = ref_pad(v)
+        jp, jc = pad_video_batch(v)
+        assert list(jc) == list(rc), (t, h, w, jc, rc)
+        np.testing.assert_array_equal(jp, rp)
+
+
+@pytest.fixture(scope="module")
+def legacy_pair():
+    kwargs = dict(FULL_KWARGS, channels=16, channels_mult=[1, 2, 2],
+                  z_channels=8, legacy_mode=True)
+    return _make_pair(kwargs, dict(channels=16, channels_mult=(1, 2, 2),
+                                   z_channels=8, legacy_mode=True))
+
+
+def test_legacy_mode_encode_parity(legacy_pair):
+    """legacy_mode=True flips the hybrid up/down-sampling order
+    (reference: layers3d.py:992-1008); encode must stay token-parity."""
+    tmodel, jmodel, cfg, params = legacy_pair
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(1, 9, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_idx, t_codes, _ = tmodel.encode(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    from egom2p_tpu.tokenizers.cosmos.network import (
+        CausalDiscreteVideoTokenizer as JaxDV)
+    j_idx, j_codes = jmodel.apply(params, jnp.asarray(x), method=JaxDV.encode)
+
+    t_codes = t_codes.float().numpy().transpose(0, 2, 3, 4, 1)
+    match = (np.asarray(j_idx) == t_idx.numpy()).mean()
+    assert match > 0.99, f"legacy token match rate {match}"
+    assert np.abs(np.asarray(j_codes, np.float32) - t_codes).max() < 1e-3
+
+
+def test_legacy_mode_decode_parity(legacy_pair):
+    tmodel, jmodel, cfg, params = legacy_pair
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 64000, size=(1, 3, 8, 8)).astype(np.int32)
+
+    with torch.no_grad():
+        t_out = tmodel.decode_code(torch.from_numpy(idx).long())
+    from egom2p_tpu.tokenizers.cosmos.network import (
+        CausalDiscreteVideoTokenizer as JaxDV)
+    j_out = jmodel.apply(params, jnp.asarray(idx), method=JaxDV.decode_code)
+    t_out = t_out.float().numpy().transpose(0, 2, 3, 4, 1)
+    j_out = np.asarray(j_out, dtype=np.float32)
+    assert j_out.shape == t_out.shape
+    assert np.abs(j_out - t_out).max() < 2e-3, np.abs(j_out - t_out).max()
