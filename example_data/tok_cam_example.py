@@ -10,6 +10,10 @@ ATE / RTE / RRE against the canonicalized input.  With the released
 Usage:
     python example_data/tok_cam_example.py --ckpt ckpt/checkpoint-cam.pth \
         [--cam /root/reference/example_data/cam.npy]
+
+`--random-init` runs the same tokenize -> reconstruct pipeline with random
+weights (self-consistency smoke mode: no checkpoint required, metrics are
+meaningless but the full path executes; see tests/test_golden_checkpoints.py).
 """
 import argparse
 import os
@@ -28,10 +32,13 @@ if __name__ == "__main__":
     p.add_argument("--ckpt", default="ckpt/checkpoint-cam.pth")
     p.add_argument("--cam", default="/root/reference/example_data/cam.npy")
     p.add_argument("--out", default="example_data")
+    p.add_argument("--random-init", action="store_true",
+                   help="smoke mode: run with random weights, no checkpoint")
     args = p.parse_args()
 
+    resume = [] if args.random_init else ["--resume", args.ckpt]
     base = [sys.executable, os.path.join(REPO, "run_training_vqvae.py"),
-            "--domain", "cam", "--resume", args.ckpt, "--tokenize",
+            "--domain", "cam", *resume, "--tokenize",
             "--tokenize_path", args.cam, "--tokenize_save_path", args.out,
             "--no_log_wandb"]
     subprocess.run(base, check=True)

@@ -22,10 +22,13 @@ if __name__ == "__main__":
     p.add_argument("--ckpt", default="ckpt/checkpoint-gaze.pth")
     p.add_argument("--gaze", default="/root/reference/example_data/gaze.npy")
     p.add_argument("--out", default="example_data")
+    p.add_argument("--random-init", action="store_true",
+                   help="smoke mode: run with random weights, no checkpoint")
     args = p.parse_args()
 
+    resume = [] if args.random_init else ["--resume", args.ckpt]
     base = [sys.executable, os.path.join(REPO, "run_training_vqvae.py"),
-            "--domain", "gaze", "--resume", args.ckpt, "--tokenize",
+            "--domain", "gaze", *resume, "--tokenize",
             "--tokenize_path", args.gaze, "--tokenize_save_path", args.out,
             "--no_log_wandb"]
     subprocess.run(base, check=True)
