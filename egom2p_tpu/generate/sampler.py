@@ -157,7 +157,16 @@ def _top_candidates(logits, K):
     aggregate_to_topk the returned set is exactly sorted and recall is
     ~recall_target on the tail, which nucleus sampling never reaches).
     The scan runs in bf16 (halves the HBM read of the 64k-vocab logits);
-    selected candidate values are returned in fp32 for the softmax."""
+    selected candidate values are returned in fp32 for the softmax.
+
+    EGOM2P_EXACT_TOPK=1 kill-switch: exact fp32 lax.top_k, matching the
+    reference's exact sort semantics bit-for-bit at the cost of ~3x the
+    sampling-step time (reference: egom2p/models/generate.py:332-360).
+    """
+    import os
+    if os.environ.get("EGOM2P_EXACT_TOPK", "0") == "1":
+        vals, idxs = jax.lax.top_k(logits.astype(jnp.float32), K)
+        return vals, idxs
     try:
         # recall_target tunes approx_max_k's bucket count; 0.85 is 3x faster
         # than the 0.95 default at 64k vocab (32ms vs 107ms per ROAR step at

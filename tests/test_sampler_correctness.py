@@ -106,6 +106,70 @@ def test_top_candidates_cover_exact_nucleus():
         assert not missing, (r, len(nucleus), missing)
 
 
+def _nucleus_dist_from_candidates(vals, idxs, top_p, V):
+    """Full-vocab probability vector induced by candidate (vals, idxs) after
+    the nucleus cutoff at temp 1.0 — mirrors _sample_from_candidates."""
+    p = np.exp(vals - vals.max())
+    p /= p.sum()
+    cum = np.cumsum(p)
+    keep = np.concatenate([[True], cum[:-1] <= top_p])
+    v = np.where(keep, vals, -np.inf)
+    q = np.exp(v - v.max())
+    q /= q.sum()
+    out = np.zeros(V)
+    out[idxs] = q
+    return out
+
+
+def test_exact_topk_killswitch_distribution(monkeypatch):
+    """EGOM2P_EXACT_TOPK=1 must route to exact fp32 lax.top_k, and the
+    default approx path (bf16 scan + approx_max_k recall 0.85) must induce a
+    sampled-token distribution within a small total-variation distance of the
+    exact path at temp 1.0 / top-p 0.8 over a 64k-vocab fixture
+    (round-3 VERDICT item 6; reference: egom2p/models/generate.py:332-360)."""
+    from egom2p_tpu.generate.sampler import _sample_from_candidates
+
+    rng = np.random.default_rng(11)
+    V = 64000
+    logits = rng.normal(0, 1, (1, V)).astype(np.float32)
+    hot = rng.choice(V, 200, replace=False)
+    logits[0, hot] += rng.uniform(8, 12, 200)
+    jl = jnp.asarray(logits)
+
+    monkeypatch.setenv("EGOM2P_EXACT_TOPK", "1")
+    ev, ei = _top_candidates(jl, 256)  # eager: env read at call time
+    ev, ei = np.asarray(ev)[0], np.asarray(ei)[0]
+    # exact path == numpy full sort, bit-for-bit on indices
+    order = np.argsort(-logits[0], kind="stable")[:256]
+    assert set(ei) == set(order)
+
+    monkeypatch.delenv("EGOM2P_EXACT_TOPK")
+    av, ai = _top_candidates(jl, 256)
+    av, ai = np.asarray(av)[0], np.asarray(ai)[0]
+
+    # analytic deviation bound: TV between the induced nucleus distributions
+    # (no sampling noise) — dominated by the bf16 cast of candidate values
+    de = _nucleus_dist_from_candidates(ev, ei, 0.8, V)
+    da = _nucleus_dist_from_candidates(av, ai, 0.8, V)
+    tv_analytic = 0.5 * np.abs(de - da).sum()
+    assert tv_analytic < 0.02, tv_analytic
+
+    # empirical: sample 50k tokens through the real candidate-sampling code
+    # on each path and compare both empirical distributions to the exact
+    # analytic one (TV noise floor ~0.4*sqrt(nucleus/N) ~= 0.035)
+    N = 50_000
+    key = jax.random.PRNGKey(3)
+    for tag, (v, i) in (("exact", (ev, ei)), ("approx", (av, ai))):
+        vt = jnp.broadcast_to(jnp.asarray(v), (N, 256))
+        it = jnp.broadcast_to(jnp.asarray(i), (N, 256))
+        samples, _ = jax.jit(
+            lambda vv, ii, kk: _sample_from_candidates(vv, ii, kk, 1.0, 0,
+                                                       0.8))(vt, it, key)
+        emp = np.bincount(np.asarray(samples), minlength=V) / N
+        tv = 0.5 * np.abs(emp - de).sum()
+        assert tv < 0.08, (tag, tv)
+
+
 def test_sample_tokens_temp0_is_argmax():
     logits = jnp.asarray(np.random.default_rng(2).normal(0, 3, (5, 1000))
                          .astype(np.float32))
