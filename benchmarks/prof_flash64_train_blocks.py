@@ -64,7 +64,13 @@ def run(bq, bk):
             qi = q
             for _ in range(K):
                 out = g(qi, k, v)
-                qi = out[1][0]  # chain dq -> q: serializes on-device
+                # chain dq -> q: serializes on-device. Rescale to unit max so
+                # the sum(o^2) loss can't overflow bf16 to inf/NaN across the
+                # K chained iterations (kernel timing is data-independent, but
+                # keep the inputs sane anyway).
+                dq = out[1][0]
+                qi = (dq / jnp.maximum(jnp.max(jnp.abs(dq)).astype(
+                    jnp.float32), 1.0)).astype(q.dtype)
             syncarr(qi)
             times.append((time.time() - t0) / K)
         dt = min(times) * 1000
