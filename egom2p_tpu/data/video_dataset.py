@@ -88,7 +88,9 @@ class VideoClipDataset:
                  clip_len: int = 16, crop_size: int = 256,
                  frame_sample_rate: int = 4, domain: str = "rgb",
                  use_npy: bool = False, seed: int = 0,
-                 files: Optional[Sequence[str]] = None):
+                 files: Optional[Sequence[str]] = None,
+                 auto_augment: Optional[str] = None, reprob: float = 0.0,
+                 remode: str = "pixel", recount: int = 1):
         self.mode = mode
         self.clip_len = clip_len
         self.crop_size = crop_size
@@ -96,6 +98,19 @@ class VideoClipDataset:
         self.domain = domain
         self.use_npy = use_npy
         self.rng = np.random.default_rng(seed)
+        # opt-in timm-style strong augs, mirroring the reference's
+        # args.aa / reprob / remode / recount knobs
+        # (reference: video_dataset.py:330-392 _aug_frame)
+        self.rand_augment = self.rand_erasing = None
+        if mode == "train" and auto_augment:
+            from egom2p_tpu.data.rand_augment import create_random_augment
+            self.rand_augment = create_random_augment(
+                crop_size, auto_augment, rng=self.rng)
+        if mode == "train" and reprob > 0:
+            from egom2p_tpu.data.rand_augment import RandomErasing
+            self.rand_erasing = RandomErasing(
+                reprob, mode=remode, max_count=recount,
+                num_splits=recount, cube=True, rng=self.rng)
         if files is not None:
             self.samples: List[str] = list(files)
         elif os.path.isdir(data_path):
@@ -178,7 +193,11 @@ class VideoClipDataset:
         if self.mode == "train":
             clip = self._augment(clip)
         clip = center_crop(clip, self.crop_size)
+        if self.rand_augment is not None and self.domain == "rgb":
+            clip = self.rand_augment(np.ascontiguousarray(clip), self.rng)
         out = normalize_pm1(np.ascontiguousarray(clip))
+        if self.rand_erasing is not None and self.domain == "rgb":
+            out = self.rand_erasing(out, self.rng)
         if self.domain == "depth" and out.ndim == 4 and out.shape[-1] == 3:
             out = out.mean(axis=-1, keepdims=True)  # depth stored as rgb mp4
         return out
