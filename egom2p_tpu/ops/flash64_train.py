@@ -512,8 +512,18 @@ def flash64_train_attention(
     if segments is not None:
         if kv_blocked is not None: raise ValueError("kv_blocked and segments are exclusive")  # noqa: E701
         if N != M: raise ValueError("segment mode is self-attention only")  # noqa: E701
-    bq = _blocks(N, 512, "EGOM2P_F64T_BQ")
-    bk = _blocks(M, 512, "EGOM2P_F64T_BK")
+    # Mode-dependent defaults from the on-chip sweep at B=8, N=M=2048
+    # (benchmarks/prof_flash64_train_blocks.py, v5e): key-padding is 27%
+    # faster at whole-sequence blocks (8.94 vs 12.23 ms fwd+bwd), segment
+    # mode 28% faster at 512/1024 (10.10 vs 14.06 ms) — larger seg blocks
+    # pay for the per-block segment-id compare.  EGOM2P_F64T_BQ/BK still
+    # override both modes.
+    if segments is not None:
+        bq = _blocks(N, 512, "EGOM2P_F64T_BQ")
+        bk = _blocks(M, 1024, "EGOM2P_F64T_BK")
+    else:
+        bq = _blocks(N, 2048, "EGOM2P_F64T_BQ")
+        bk = _blocks(M, 2048, "EGOM2P_F64T_BK")
     kvb_f = (None if kv_blocked is None
              else kv_blocked.astype(jnp.float32))
     seg_f = None if segments is None else segments.astype(jnp.float32)
