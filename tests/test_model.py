@@ -108,6 +108,7 @@ def test_return_logits_shapes(tiny_model_and_params):
         assert logits[m].shape == (2, 24, MODALITY_INFO[m]["vocab_size"])
 
 
+@pytest.mark.slow
 def test_grad_flows(tiny_model_and_params):
     model, params, mod_dict = tiny_model_and_params
 
@@ -147,6 +148,7 @@ def test_mask_gather_keeps_unmasked_first():
     assert bool((np.asarray(mod_ids)[0][np.asarray(mask)[0, 0]] == -1).all())
 
 
+@pytest.mark.slow
 def test_chunked_ce_chunk_size_invariant(monkeypatch):
     """The lax.cond chunk-skip in _chunked_masked_ce must leave loss AND
     parameter gradients invariant to the tile size up to fp reassociation
@@ -183,6 +185,7 @@ def test_chunked_ce_chunk_size_invariant(monkeypatch):
                                        np.asarray(b, np.float32), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_remat_policies_preserve_loss_and_grads():
     """Activation checkpointing is a memory/speed knob only: loss and
     gradients must be identical (fp32 exact math) across no-remat, full
