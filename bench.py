@@ -171,11 +171,8 @@ def main():
                    out_size=256)
     ingest_cps = n_ing / (time.time() - t_in)
 
-    # Un-prestaged end-to-end variant: each batch is freshly uploaded with
-    # double-buffering (device_put of batch i+1 is issued before batch i's
-    # compute is consumed, so feed overlaps compute).  Through this dev
-    # relay the ~20-40 MB/s tunnel dominates; reported separately so the
-    # headline's h2d_prestaged exclusion is quantified, not hidden.
+    # Un-prestaged end-to-end variant (serial): upload -> compute -> upload,
+    # quantifying what the headline's h2d_prestaged exclusion hides.
     t0 = time.time()
     buf = jax.device_put(video)
     for i in range(n):
@@ -184,6 +181,37 @@ def main():
         buf = nxt
     _ = int(out[0, 0])  # force final batch completion
     e2e_cps = n * B / (time.time() - t0)
+
+    # Overlapped end-to-end (round-3 VERDICT item 4; SURVEY §7 phase 5
+    # "overlap host IO with device compute"): a producer thread runs
+    # mp4 ingest + device_put into a depth-2 queue while the main thread
+    # keeps the device busy, so feed rides UNDER compute instead of being
+    # added to it.  Expected: ~= min(device rate, H2D bound) — on this dev
+    # relay the tunnel is the floor; on a real v5e host (PCIe H2D, ~ms)
+    # it sustains the device rate.
+    import queue as _queue
+    import threading
+
+    def _producer(q, n_batches):
+        for i in range(n_batches):
+            host = read_video(
+                "/root/reference/example_data/rgb2dep_h2o.mp4", out_size=256)
+            host = np.repeat(host[None], B, axis=0)
+            q.put(jax.device_put(host))  # async upload from this thread
+        q.put(None)
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    t0 = time.time()
+    threading.Thread(target=_producer, args=(q, n), daemon=True).start()
+    i = 0
+    while True:
+        buf = q.get()
+        if buf is None:
+            break
+        out = one_batch(200 + i, buf)
+        i += 1
+    _ = int(out[0, 0])
+    e2e_overlapped_cps = n * B / (time.time() - t0)
 
     # tokenizer FLOPs from XLA cost analysis (exact), generation analytic
     padded = np.pad(video, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)),
@@ -218,6 +246,7 @@ def main():
         "relay_h2d_mbps": round(h2d_mbps, 1),
         "ingest_clips_per_s": round(ingest_cps, 2),
         "e2e_unprestaged_clips_per_s": round(e2e_cps, 3),
+        "e2e_overlapped_clips_per_s": round(e2e_overlapped_cps, 3),
     }
     print(json.dumps(result))
     print(f"# setup+compile {setup_s:.1f}s; {n} batches x {B} clips in {dt:.2f}s",
