@@ -293,6 +293,96 @@ def _dkv_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
     dv_ref[0] = jnp.concatenate([dv_a, dv_b], axis=-1).astype(dv_ref.dtype)
 
 
+def _dqkv_kernel(bias_ref, segq_ref, q_ref, do_ref, l2_ref, d_ref, k_ref,
+                 v_ref, dq_ref, dk_ref, dv_ref, *, bq: int, n_q: int,
+                 scale2: float, nat_scale: float, mask_mode: str,
+                 clamp: bool):
+    """Fused backward: one pass over (q block i, kv block j) produces dq,
+    dk AND dv, sharing the recomputed p and dp that the split _dq_kernel /
+    _dkv_kernel each rebuilt (7 -> 5 matmuls per (i, j) pair per head).
+    Opt-in via EGOM2P_F64T_FUSED_BWD=1: the on-chip sweep measured it
+    SLOWER than the split passes at every block size (see _bwd below),
+    so it ships as an A/B reference implementation, not the default.
+
+    Grid is (B, head-pair, kv block j) with j fastest; dq's output block
+    maps to the SAME (b, h) block for every j, so it stays VMEM-resident
+    as an fp32 accumulator across the sequential j steps (zeroed at j==0,
+    written back when the (b, h) block changes)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    kblk = k_ref[0]  # (bk, 128)
+    vblk = v_ref[0]
+    bk = kblk.shape[0]
+    if mask_mode == "kp":
+        bias = bias_ref[0, 0].reshape(1, bk)
+    elif mask_mode == "seg":
+        seg_k = bias_ref[0, 0].reshape(1, bk)
+
+    def q_step(i, carry):
+        dk_a, dk_b, dv_a, dv_b = carry
+        q = q_ref[0, pl.ds(i * bq, bq), :]
+        do = do_ref[0, pl.ds(i * bq, bq), :]
+        qa, qb = q[:, :64], q[:, 64:]
+        doa, dob = do[:, :64], do[:, 64:]
+        l2_a = l2_ref[0, 0, 0, pl.ds(i * bq, bq)].reshape(bq, 1)
+        l2_b = l2_ref[0, 0, 1, pl.ds(i * bq, bq)].reshape(bq, 1)
+        d_a = d_ref[0, 0, 0, pl.ds(i * bq, bq)].reshape(bq, 1)
+        d_b = d_ref[0, 0, 1, pl.ds(i * bq, bq)].reshape(bq, 1)
+        dn = (((1,), (1,)), ((), ()))
+        s_a = jax.lax.dot_general(qa, kblk[:, :64], dn,
+                                  preferred_element_type=jnp.float32) * scale2
+        s_b = jax.lax.dot_general(qb, kblk[:, 64:], dn,
+                                  preferred_element_type=jnp.float32) * scale2
+        if mask_mode == "kp":
+            s_a = s_a + bias
+            s_b = s_b + bias
+        elif mask_mode == "seg":
+            seg_q = segq_ref[0, 0, pl.ds(i * bq, bq)].reshape(bq, 1)
+            bias_sq = jnp.where(seg_q != seg_k, _NEG_INF, 0.0)
+            s_a = s_a + bias_sq
+            s_b = s_b + bias_sq
+        if clamp:  # mirror the clamp-only forward (see _dq_kernel)
+            s_a = jnp.minimum(s_a, 80.0)
+            s_b = jnp.minimum(s_b, 80.0)
+        p_a = jnp.exp2(s_a - l2_a)
+        p_b = jnp.exp2(s_b - l2_b)
+        tn = (((0,), (0,)), ((), ()))
+        dv_a = dv_a + jax.lax.dot_general(p_a.astype(doa.dtype), doa, tn,
+                                          preferred_element_type=jnp.float32)
+        dv_b = dv_b + jax.lax.dot_general(p_b.astype(dob.dtype), dob, tn,
+                                          preferred_element_type=jnp.float32)
+        dp_a = jax.lax.dot_general(doa, vblk[:, :64], dn,
+                                   preferred_element_type=jnp.float32)
+        dp_b = jax.lax.dot_general(dob, vblk[:, 64:], dn,
+                                   preferred_element_type=jnp.float32)
+        ds_a = (p_a * (dp_a - d_a)).astype(qa.dtype)
+        ds_b = (p_b * (dp_b - d_b)).astype(qb.dtype)
+        dk_a = dk_a + jax.lax.dot_general(ds_a, qa, tn,
+                                          preferred_element_type=jnp.float32)
+        dk_b = dk_b + jax.lax.dot_general(ds_b, qb, tn,
+                                          preferred_element_type=jnp.float32)
+        # dq accumulation: read-modify-write the VMEM-resident fp32 block
+        dq_a = jnp.dot(ds_a, kblk[:, :64],
+                       preferred_element_type=jnp.float32)
+        dq_b = jnp.dot(ds_b, kblk[:, 64:],
+                       preferred_element_type=jnp.float32)
+        rows = pl.ds(i * bq, bq)
+        dq_ref[0, rows, :] = (dq_ref[0, rows, :]
+                              + jnp.concatenate([dq_a, dq_b], axis=-1)
+                              * nat_scale)
+        return dk_a, dk_b, dv_a, dv_b
+
+    z = jnp.zeros((bk, 64), jnp.float32)
+    dk_a, dk_b, dv_a, dv_b = jax.lax.fori_loop(0, n_q, q_step, (z, z, z, z))
+    dk_ref[0] = (jnp.concatenate([dk_a, dk_b], axis=-1)
+                 * nat_scale).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate([dv_a, dv_b], axis=-1).astype(dv_ref.dtype)
+
+
 # ------------------------------------------------------------------ wrapper
 def _blocks(n: int, default: int, env: str) -> int:
     b = int(os.environ.get(env, "0")) or default
@@ -372,9 +462,10 @@ def _fwd(q, k, v, kv_blocked, segments, bq: int, bk: int, interpret: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bq", "bk", "interpret", "safemax"))
+                   static_argnames=("bq", "bk", "interpret", "safemax",
+                                    "fused"))
 def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
-         interpret: bool, safemax: bool = True):
+         interpret: bool, safemax: bool = True, fused: bool = True):
     from jax.experimental.pallas import tpu as pltpu
     B, N, C = q.shape
     M = k.shape[1]
@@ -391,6 +482,55 @@ def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
 
     scale2 = (64 ** -0.5) * _LOG2E
     nat = 64 ** -0.5
+
+    if fused:
+        # fused single-pass backward (EGOM2P_F64T_FUSED_BWD=1 opt-in).
+        # Shares the recomputed p/dp between dq and dkv (5 matmuls per
+        # (i, j) pair vs the split passes' 7) — but the on-chip block
+        # sweep shows the split kernels still win: kp 8.75 ms (2048
+        # blocks) vs fused-best 10.07 ms (512/512), seg tied at 10.78 ms
+        # (same-session, benchmarks/prof_flash64_train_blocks.py).  The
+        # 3-output kernel's extra VMEM (fp32 dq accumulator + dk/dv
+        # carries) shortens Mosaic's pipelining depth more than the two
+        # saved matmuls buy back, so the split passes stay the default.
+        bias_spec = (pl.BlockSpec((1, 1, bk), lambda b, h, j: (b, 0, j))
+                     if mask_mode != "none" else
+                     pl.BlockSpec((1, 1, bias.shape[2]),
+                                  lambda b, h, j: (b, 0, 0)))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_dqkv_kernel, bq=bq, n_q=Np // bq,
+                              scale2=scale2, nat_scale=nat,
+                              mask_mode=mask_mode, clamp=not safemax),
+            grid=(B, n_pairs, Mp // bk),
+            in_specs=[
+                bias_spec,
+                pl.BlockSpec((1, 1, Np), lambda b, h, j: (b, 0, 0)),
+                pl.BlockSpec((1, Np, 128), lambda b, h, j: (b, 0, h)),
+                pl.BlockSpec((1, Np, 128), lambda b, h, j: (b, 0, h)),
+                pl.BlockSpec((1, 1, 2, Np), lambda b, h, j: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, 2, Np), lambda b, h, j: (b, h, 0, 0)),
+                pl.BlockSpec((1, bk, 128), lambda b, h, j: (b, j, h)),
+                pl.BlockSpec((1, bk, 128), lambda b, h, j: (b, j, h)),
+            ],
+            out_specs=[
+                # constant in j -> stays VMEM-resident across the kv loop
+                pl.BlockSpec((1, Np, 128), lambda b, h, j: (b, 0, h)),
+                pl.BlockSpec((1, bk, 128), lambda b, h, j: (b, j, h)),
+                pl.BlockSpec((1, bk, 128), lambda b, h, j: (b, j, h)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp, C), jnp.bfloat16),
+                jax.ShapeDtypeStruct((B, Mp, C), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(bias, seg_q, qp, dop, l2, d, kp, vp)
+        return (dq[:, :N].astype(q.dtype), dk[:, :M].astype(k.dtype),
+                dv[:, :M].astype(v.dtype))
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, bk=bk, n_kv=Mp // bk, scale2=scale2,
                           nat_scale=nat, mask_mode=mask_mode,
@@ -452,9 +592,9 @@ def _bwd(q, k, v, kv_blocked, segments, o, l2, do, bq: int, bk: int,
             dv[:, :M].astype(v.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash64_train(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret,
-                   safemax):
+                   safemax, fused=True):
     # kv_blocked_f: (B, M) f32 (1.0 = blocked); segments_f: (B, N) f32 ids —
     # both float so the vjp stays all-float (at most one is non-None)
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
@@ -462,13 +602,13 @@ def _flash64_train(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret,
 
 
 def _flash64_train_fwd(q, k, v, kv_blocked_f, segments_f, bq, bk, interpret,
-                       safemax):
+                       safemax, fused=True):
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
     o, l2 = _fwd(q, k, v, kvb, segments_f, bq, bk, interpret, safemax)
     return o, (q, k, v, kv_blocked_f, segments_f, o, l2)
 
 
-def _flash64_train_bwd(bq, bk, interpret, safemax, res, do):
+def _flash64_train_bwd(bq, bk, interpret, safemax, fused, res, do):
     # the backward recomputes p with the SAME softmax form as the forward:
     # safemax -> p = exp2(s - L2) (exact at any logit magnitude);
     # clamp-only -> p = exp2(min(s, 80) - L2) == p_fwd / l, so forward and
@@ -476,7 +616,7 @@ def _flash64_train_bwd(bq, bk, interpret, safemax, res, do):
     q, k, v, kv_blocked_f, segments_f, o, l2 = res
     kvb = None if kv_blocked_f is None else kv_blocked_f > 0.5
     dq, dk, dv = _bwd(q, k, v, kvb, segments_f, o, l2, do, bq, bk, interpret,
-                      safemax)
+                      safemax, fused)
     dkvb = (None if kv_blocked_f is None
             else jnp.zeros_like(kv_blocked_f))
     dseg = None if segments_f is None else jnp.zeros_like(segments_f)
@@ -529,4 +669,6 @@ def flash64_train_attention(
     seg_f = None if segments is None else segments.astype(jnp.float32)
     if safemax is None:
         safemax = os.environ.get("EGOM2P_F64T_SAFEMAX", "0") == "1"
-    return _flash64_train(q, k, v, kvb_f, seg_f, bq, bk, interpret, safemax)
+    fused = os.environ.get("EGOM2P_F64T_FUSED_BWD", "0") == "1"
+    return _flash64_train(q, k, v, kvb_f, seg_f, bq, bk, interpret, safemax,
+                          fused)

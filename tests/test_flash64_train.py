@@ -339,3 +339,34 @@ def test_clamp_mode_grads_finite_past_contract():
     # dv (= p^T do) must be bounded by |do| ~ 2|o| <= 2 max|v|
     dv = np.abs(np.asarray(grads[2], np.float32))
     assert dv.max() < 4 * float(jnp.abs(v).max()) * n
+
+
+@pytest.mark.parametrize("mask", ["kp", "seg"])
+def test_fused_bwd_matches_split(monkeypatch, mask):
+    """The fused single-pass backward (EGOM2P_F64T_FUSED_BWD=1, opt-in —
+    the on-chip sweep keeps the split passes as default) must produce the
+    same dq/dk/dv as the split dq/dkv passes."""
+    rng = np.random.default_rng(17)
+    B, N, C = 2, 256, 128
+    q = jnp.asarray(rng.normal(0, 1, (B, N, C)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 1, (B, N, C)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(0, 1, (B, N, C)), jnp.bfloat16)
+    kw = (dict(kv_blocked=jnp.zeros((B, N), bool).at[:, -32:].set(True))
+          if mask == "kp" else
+          dict(segments=jnp.asarray(
+              np.repeat(np.arange(4), N // 4)[None].repeat(B, 0))))
+
+    def grads():
+        def loss(q, k, v):
+            o = flash64_train_attention(q, k, v, interpret=True, **kw)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setenv("EGOM2P_F64T_FUSED_BWD", "1")
+    fused = grads()
+    monkeypatch.setenv("EGOM2P_F64T_FUSED_BWD", "0")
+    split = grads()
+    for name, a, b in zip("dq dk dv".split(), fused, split):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0, atol=2e-2, err_msg=name)
