@@ -374,6 +374,24 @@ class EgoM2P(nn.Module):
         # vocab (e.g. 64k video ids vs a 256 cam head) and would hit the
         # out-of-bounds NaN fill of take_along_axis
         t = jnp.where(weights.reshape(-1), target_ids.reshape(-1), 0)
+
+        # Large-vocab heads route to the Pallas flash-CE forward (online
+        # vocab-tiled logsumexp — the (chunk, 64k) fp32 logits tile never
+        # round-trips HBM); its custom_vjp backward is the same chunked
+        # XLA recompute as the scan below.  EGOM2P_FLASH_CE=0 reverts.
+        flash_env = os.environ.get("EGOM2P_FLASH_CE", "1")
+        vocab = self.mod_info[mod]["vocab_size"]
+        if (flash_env != "0" and not skip and vocab >= 4096
+                and D % 128 == 0):
+            from egom2p_tpu.ops.flash_attention import supports_flash
+            interp = flash_env == "interpret"  # test hook (CPU backends)
+            if interp or supports_flash():
+                w_mat = (emb_mod.token_emb if emb_mod.share_embedding
+                         else emb_mod.to_logits)
+                from egom2p_tpu.ops.flash_ce import flash_ce_total
+                total = flash_ce_total(yf, w_mat, t, w, chunk=chunk,
+                                       interpret=interp)
+                return total, jnp.sum(w)
         n = yf.shape[0]
         pad = (-n) % chunk
         if pad:
