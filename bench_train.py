@@ -65,9 +65,10 @@ def main():
     accum = int(os.environ.get("ACCUM", "1"))
     MODS = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
     # with bf16 compute the B=8 step fits HBM without remat and runs ~40%
-    # faster (64.7k vs 46.0k tok/s on-chip, round-4 flash64 block defaults);
-    # remat is the knob for larger micro-batches (B=16 full-remat: 49.4k;
-    # B=16 no-remat OOMs by 0.5G) — prefer ACCUM=8 (70.7k at batch 64)
+    # faster (69.9k vs 46.0k tok/s on-chip, round-4 flash64 blocks +
+    # flash-CE); remat is the knob for larger micro-batches (B=16
+    # full-remat: 49.4k; B=16 no-remat OOMs by 0.5G) — prefer ACCUM=8
+    # (76.0k at batch 64)
     model = create_model("egom2p_base_12e_12d_swiglu_nobias", MODS, MODS,
                          use_act_checkpoint=remat != "0",
                          remat_policy="dots" if remat == "dots" else "full")
