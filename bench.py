@@ -139,19 +139,37 @@ def main():
     # back-to-back with ONE final sync, so the per-batch figure is device
     # time, not the dev relay's round-trip (a single synced pass was
     # measured to inflate the ~100 ms tokenize stage to ~850 ms of RTT).
+    # One un-timed synced pass first: the first loop after the headline
+    # run absorbs a one-time relay tail (measured inflating the 46 ms
+    # tokenize stage to 130-230 ms; reps right after are stable).
     K = 4
+
+    def _tok_once():
+        t = vid_tok.forward(uploads[0], device_out=True)
+        return t.reshape(B, -1).astype(jnp.int32)
+
+    _ = int(_tok_once()[0, 0])
     t0 = time.time()
     for _ in range(K):
-        tokens = vid_tok.forward(uploads[0], device_out=True)
-        tokens = tokens.reshape(B, -1).astype(jnp.int32)
+        tokens = _tok_once()
     _ = int(tokens[0, 0])
     tok_stage_s = (time.time() - t0) / K
+    if os.environ.get("BENCH_DEBUG_STAGES"):
+        for rep in range(3):
+            t0 = time.time()
+            for _ in range(K):
+                tokens = _tok_once()
+            _ = int(tokens[0, 0])
+            print(f"# tokenize stage rep{rep}: "
+                  f"{(time.time() - t0) / K * 1000:.1f} ms", file=sys.stderr)
     sample = {"tok_rgb": {
         "tensor": tokens,
         "input_mask": np.zeros((B, 5120), dtype=bool),
         "target_mask": np.ones((B, 5120), dtype=bool)}}
     init_empty_target_modality(sample, MODALITY_INFO, "tok_depth", B, 5120)
     init_full_input_modality(sample, MODALITY_INFO, "tok_rgb")
+    _ = int(sampler.generate(sample, schedule, top_p=0.8, top_k=0.0,
+                             seed=999)["tok_depth"]["tensor"][0, 0])
     t0 = time.time()
     for i in range(K):
         out = sampler.generate(sample, schedule, top_p=0.8, top_k=0.0,

@@ -17,6 +17,7 @@ All parameters are fp32; compute dtype follows the input.
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -26,6 +27,68 @@ from flax import linen as nn
 
 def nonlinearity(x):
     return x * jax.nn.sigmoid(x)
+
+
+class _Conv3dCore(nn.Module):
+    """Tap-unrolled alternative to ``nn.Conv`` over (T, H, W) — A/B only.
+
+    Same param tree (``kernel`` (kt, kh, kw, ci, co) + ``bias``) and VALID
+    semantics, but never emits a 3-spatial-dim XLA convolution: the
+    temporal taps are unrolled (kt is 1 or 3 everywhere in this network)
+    into
+
+      * kh == kw == 1: ONE matmul over stacked taps — (B,T,H,W, kt*ci) x
+        (kt*ci, co) on the MXU,
+      * otherwise: a sum of kt time-folded 2D NHWC convs.
+
+    Built to chase a suspected 9%-MFU 3D-conv pathology that turned out
+    to be a benchmark artifact (an un-warmed stage loop absorbing relay
+    tail latency — see bench.py).  On-chip A/B at the real DV4x8x8
+    encode, B=8 x 17x256x256 (2026-08-20, warm loops): XLA's native
+    3D-conv path 38.6 ms (110 TF/s, 56% MFU — at its compute roofline),
+    this decomposition 43.2 ms (101 TF/s).  Native wins; it stays the
+    default and this core ships opt-in (EGOM2P_CONV3D_UNROLL=1) as the
+    A/B reference, like the rejected fused flash64 backward."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    dilation: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        ts, sh, sw = self.strides
+        td, dh, dw = self.dilation
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kt, kh, kw, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = kernel.astype(x.dtype)
+        t_in = x.shape[1]
+        t_out = (t_in - (kt - 1) * td - 1) // ts + 1
+        # temporal tap k of the output sees input frames k*td :: ts
+        taps = [x[:, k * td:k * td + (t_out - 1) * ts + 1:ts]
+                for k in range(kt)]
+        if kh == 1 and kw == 1 and sh == 1 and sw == 1:
+            xs = taps[0] if kt == 1 else jnp.concatenate(taps, axis=-1)
+            y = jax.lax.dot_general(
+                xs, w.reshape(kt * ci, self.features),
+                (((xs.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            b, _, h, ww_, _ = x.shape
+            y = None
+            for k in range(kt):
+                xb = taps[k].reshape(b * t_out, h, ww_, ci)
+                yk = jax.lax.conv_general_dilated(
+                    xb, w[k], window_strides=(sh, sw), padding="VALID",
+                    rhs_dilation=(dh, dw),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                y = yk if y is None else y + yk
+            y = y.reshape(b, t_out, *y.shape[1:])
+        return (y + bias).astype(x.dtype)
 
 
 class CausalConv3d(nn.Module):
@@ -51,6 +114,14 @@ class CausalConv3d(nn.Module):
         if self.padding > 0:
             p = self.padding
             x = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p), (0, 0)))
+        if os.environ.get("EGOM2P_CONV3D_UNROLL", "0") == "1":
+            # A/B path; measured slower than XLA's native 3D conv (see
+            # _Conv3dCore docstring), parameter-tree identical.
+            return _Conv3dCore(
+                self.features, kernel_size=(kt, kh, kw),
+                strides=(self.time_stride, self.stride, self.stride),
+                dilation=(self.time_dilation, self.dilation, self.dilation),
+                name="conv3d")(x)
         return nn.Conv(
             self.features, kernel_size=(kt, kh, kw),
             strides=(self.time_stride, self.stride, self.stride),

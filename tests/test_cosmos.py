@@ -103,3 +103,23 @@ def test_dv_reconstruct_video(small_tokenizer):
     recon = tok.reconstruct(video, temporal_window=17)
     assert recon.shape == video.shape
     assert recon.dtype == np.uint8
+
+
+def test_conv3d_unroll_ab_path_matches_native(small_tokenizer, monkeypatch):
+    """EGOM2P_CONV3D_UNROLL=1 (tap-unrolled conv decomposition, kept as an
+    on-chip A/B reference — see layers._Conv3dCore) is parameter-tree
+    identical to the native nn.Conv path and numerically equivalent."""
+    tok = small_tokenizer
+    rng = np.random.default_rng(2)
+    video = jnp.asarray(
+        (rng.random((1, 9, 64, 64, 3), dtype=np.float32) * 2.0) - 1.0)
+    idx_native, codes_native = jax.jit(
+        lambda p, x: tok.module.apply(p, x, method=type(tok.module).encode)
+    )(tok.params, video)
+    monkeypatch.setenv("EGOM2P_CONV3D_UNROLL", "1")
+    idx_unroll, codes_unroll = jax.jit(
+        lambda p, x: tok.module.apply(p, x, method=type(tok.module).encode)
+    )(tok.params, video)
+    assert np.mean(np.asarray(idx_native) == np.asarray(idx_unroll)) > 0.999
+    np.testing.assert_allclose(np.asarray(codes_native),
+                               np.asarray(codes_unroll), atol=2e-2)
