@@ -22,8 +22,13 @@ def host_fingerprint() -> str:
 
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")),
-                         platform.machine())
+            lines = f.read().splitlines()
+        # flags AND model name: XLA:CPU AOT entries also embed LLVM *tuning*
+        # features (+prefer-no-scatter/-gather) chosen from the CPU model,
+        # which can differ between hosts with identical flag sets
+        keys = ("flags", "model name")
+        flags = "\n".join(next((l for l in lines if l.startswith(k)), "")
+                          for k in keys) or platform.machine()
     except OSError:  # pragma: no cover - non-Linux
         flags = platform.machine()
     return hashlib.md5(flags.encode()).hexdigest()[:10]

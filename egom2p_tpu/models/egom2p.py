@@ -379,13 +379,19 @@ class EgoM2P(nn.Module):
         # vocab-tiled logsumexp — the (chunk, 64k) fp32 logits tile never
         # round-trips HBM); its custom_vjp backward is the same chunked
         # XLA recompute as the scan below.  EGOM2P_FLASH_CE=0 reverts.
+        #
+        # Gated on CE's OWN probe (flash_ce_available), never the attention
+        # routing probes supports_flash()/flash_backend_available(): tests
+        # monkeypatch those to force flash64 attention routing on CPU, and
+        # CE must not piggyback (a non-interpret pallas_call would crash
+        # on the CPU backend — the round-4 red-tier regression).
         flash_env = os.environ.get("EGOM2P_FLASH_CE", "1")
         vocab = self.mod_info[mod]["vocab_size"]
         if (flash_env != "0" and not skip and vocab >= 4096
                 and D % 128 == 0):
-            from egom2p_tpu.ops.flash_attention import supports_flash
+            from egom2p_tpu.ops.flash_ce import flash_ce_available
             interp = flash_env == "interpret"  # test hook (CPU backends)
-            if interp or supports_flash():
+            if interp or flash_ce_available():
                 w_mat = (emb_mod.token_emb if emb_mod.share_embedding
                          else emb_mod.to_logits)
                 from egom2p_tpu.ops.flash_ce import flash_ce_total

@@ -42,6 +42,18 @@ _NEG = -1e30
 _BV_CANDIDATES = (6400, 4096, 3200, 2048, 1600, 1280, 1024, 512, 256, 128)
 
 
+def flash_ce_available() -> bool:
+    """CE's OWN backend probe — deliberately not shared with the attention
+    routing probes (``supports_flash`` / ``flash_backend_available``), which
+    tests monkeypatch to force flash64 attention routing on CPU.  CE must
+    never follow those onto a backend where a non-interpret pallas_call
+    would crash (round-4 regression)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _pick_bv(vocab: int) -> tuple[int, int]:
     """(padded_vocab, bv).  Prefers a tile that divides the vocab exactly;
     otherwise pads the weight rows up to a multiple of 4096 and lets the

@@ -81,6 +81,42 @@ def test_zero_weight_rows_do_not_contribute():
     np.testing.assert_allclose(float(base), float(moved), rtol=1e-4)
 
 
+def test_ce_routing_ignores_attention_probe(monkeypatch):
+    """Regression (round-4 red tier): tests that monkeypatch the attention
+    routing probe ``supports_flash -> True`` on CPU must NOT drag the CE
+    loss into a non-interpret pallas_call.  CE gates on the raw backend
+    probe and must take the chunked XLA path here, not crash."""
+    import egom2p_tpu.ops.flash64_train as f64t
+    import egom2p_tpu.ops.flash_attention as fa
+    import egom2p_tpu.ops.flash_ce as fce
+    from egom2p_tpu.data import MODALITY_INFO
+    from egom2p_tpu.models import create_model
+    from tests.test_model import make_mod_dict
+
+    MODS = ("tok_rgb", "tok_cam")
+    model = create_model("egom2p_tiny_6e_6d_swiglu_nobias", MODS, MODS)
+    rng = np.random.default_rng(1)
+    md = make_mod_dict(rng, batch=1, mods=MODS, n_in=128, n_tgt=128,
+                       info=MODALITY_INFO)
+    params = model.init(jax.random.PRNGKey(0), md, 128, 128)
+
+    def boom(*a, **kw):
+        raise AssertionError("flash_ce_total reached on CPU backend")
+
+    # attention routes to the interpret-mode train kernels (same setup as
+    # test_flash64_train.py's routing-parity test)...
+    real = f64t.flash64_train_attention
+    monkeypatch.setattr(f64t, "flash64_train_attention",
+                        lambda *a, **kw: real(*a, **{**kw,
+                                                     "interpret": True}))
+    monkeypatch.setattr(fa, "supports_flash", lambda: True)
+    monkeypatch.setattr(fa, "flash_backend_available", lambda: True)
+    # ...but CE must NOT follow either attention probe onto the CPU backend
+    monkeypatch.setattr(fce, "flash_ce_total", boom)
+    loss = model.apply(params, md, 128, 128, "mod")[0]
+    assert np.isfinite(float(loss))
+
+
 def test_model_loss_routes_flash_ce(monkeypatch):
     """Model-level: loss and grads identical between the flash-CE path
     (interpret) and the chunked-scan path."""
