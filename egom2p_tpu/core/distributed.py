@@ -51,6 +51,89 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Host-level rendezvous through the coordination service (KV store /
+    barrier RPC) — NO device collectives, so it is safe before the backend
+    collective context (Gloo on CPU fake clusters, ICI on pods) exists.
+
+    Use before the first jitted collective when processes may arrive far
+    apart (e.g. one host compiles cold while another hits the persistent
+    cache): Gloo's context bootstrap gives peers only ~30s to show up, so
+    compile AOT first, barrier here, then execute."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    assert client is not None, "jax.distributed not initialized"
+    try:
+        client.wait_at_barrier(f"egom2p_{name}", timeout_in_ms=timeout_ms)
+    except AttributeError:  # older jaxlib: emulate with the KV store
+        me = jax.process_index()
+        client.key_value_set(f"egom2p_b/{name}/{me}", "1")
+        for p in range(jax.process_count()):
+            client.blocking_key_value_get(f"egom2p_b/{name}/{p}", timeout_ms)
+
+
+# ------------------------------------------------------- batch assembly
+def _local_row_span(sharding, global_rows: int) -> tuple:
+    """Contiguous [lo, hi) of leading-dim rows owned by this process'
+    devices under `sharding`.  Asserts contiguity (true for the standard
+    process-ordered device enumeration TPU pods use)."""
+    idx_map = sharding.addressable_devices_indices_map((global_rows,))
+    rows = sorted({r for (sl,) in idx_map.values()
+                   for r in range(*sl.indices(global_rows))})
+    lo, hi = rows[0], rows[-1] + 1
+    assert rows == list(range(lo, hi)), (
+        "non-contiguous local batch rows — per-process loading needs a "
+        "process-contiguous device order in the mesh")
+    return lo, hi
+
+
+def global_batch_from_local(mesh, batch: dict, spec=None):
+    """Assemble per-process LOCAL batches into global jax.Arrays.
+
+    Each host loads `local_rows = global_rows / process_span` samples (its
+    own shard stream — reference: unified_datasets.py:392 per-rank wds
+    splitting); this stitches them into a global batch-sharded array with
+    jax.make_array_from_process_local_data.  Single-process: pass-through
+    (the jit's in_shardings handles placement with zero extra copies)."""
+    if jax.process_count() == 1:
+        return batch
+    from egom2p_tpu.core.mesh import (BATCH_SPEC, local_num_data_shards,
+                                      num_data_shards)
+    from jax.sharding import NamedSharding
+    spec = BATCH_SPEC if spec is None else spec
+    sharding = NamedSharding(mesh, spec)
+    factor = num_data_shards(mesh) // local_num_data_shards(mesh)
+
+    def leaf(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * factor,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, gshape)
+
+    import jax.tree_util as jtu
+    return jtu.tree_map(leaf, batch)
+
+
+def global_batch_from_replicated(mesh, batch: dict, spec=None):
+    """Assemble a global batch every host loaded IDENTICALLY (validation
+    streams read un-split so all hosts agree on batch count — required:
+    a host that exhausts its shards early would deadlock the others inside
+    the per-batch assembly collective).  Each host slices out its local
+    rows, then defers to the same process-local assembly."""
+    if jax.process_count() == 1:
+        return batch
+    from egom2p_tpu.core.mesh import BATCH_SPEC
+    from jax.sharding import NamedSharding
+    import jax.tree_util as jtu
+    spec = BATCH_SPEC if spec is None else spec
+    sharding = NamedSharding(mesh, spec)
+    rows = jtu.tree_leaves(batch)[0].shape[0]
+    lo, hi = _local_row_span(sharding, rows)
+    local = jtu.tree_map(lambda x: np.asarray(x)[lo:hi], batch)
+    return global_batch_from_local(mesh, local, spec)
+
+
 def all_reduce_metrics(metrics: dict, mesh=None, force: bool = False) -> dict:
     """Cross-host mean of host-side scalar metrics (reference's MetricLogger
     all_reduce, egom2p/utils/logger.py:52-63).

@@ -89,6 +89,9 @@ class JsonlLogger:
         self.path = os.path.join(output_dir, filename)
 
     def write(self, record: Dict):
+        import jax
+        if jax.process_index() != 0:  # one writer per (possibly shared) fs
+            return
         with open(self.path, "a") as f:
             f.write(json.dumps({k: (float(v) if hasattr(v, "item") else v)
                                 for k, v in record.items()}) + "\n")

@@ -69,3 +69,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def num_data_shards(mesh: Mesh) -> int:
     return mesh.shape[AXIS_REPLICA] * mesh.shape[AXIS_DATA]
+
+
+def local_num_data_shards(mesh: Mesh) -> int:
+    """Number of batch shards owned by THIS process.
+
+    Multi-host data loading is per-process (the reference shards its wds
+    shard lists per rank, egom2p/data/unified_datasets.py:392): each host
+    loads `batch_size * local_num_data_shards` samples and the global batch
+    is assembled with jax.make_array_from_process_local_data (see
+    egom2p_tpu.core.distributed.global_batch_from_local).  Devices along the
+    model axis replicate the same batch rows, so they don't multiply the
+    per-process shard count."""
+    n_local = len([d for d in mesh.devices.flat
+                   if d.process_index == jax.process_index()])
+    model = mesh.shape.get(AXIS_MODEL, 1)
+    assert n_local % model == 0, (n_local, model)
+    return n_local // model

@@ -226,7 +226,10 @@ def jit_train_step(mesh: Mesh, train_step, state: TrainState, batch: Dict,
     st_sh = state_shardings(mesh, state, fsdp=fsdp, tp=tp)
     b_sh = batch_shardings(mesh, batch)
     repl = NamedSharding(mesh, REPLICATED_SPEC)
-    metrics_sh = None  # let the compiler pick (scalars)
+    # metric scalars replicated: every process can read them with float()
+    # (None would let the partitioner leave them on one shard, which a
+    # non-owning process cannot fetch in multi-process runs)
+    metrics_sh = repl
     return jax.jit(
         train_step,
         in_shardings=(st_sh, b_sh, repl),

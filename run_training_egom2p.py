@@ -127,10 +127,17 @@ def get_args(argv=None):
     return parse_args_with_config(p, argv)
 
 
-def expand_modality_shards(path: str, mod_info, fallback_name: str):
+def expand_modality_shards(path: str, mod_info, fallback_name: str,
+                           split: bool = True):
     """Expand '[rgb,depth]/.../shard-{000..195}.tar' into per-modality
-    aligned shard lists, split across processes (shared by the train and
-    val loaders so the two stay in sync)."""
+    aligned shard lists.
+
+    split=True partitions the shards across processes (training streams —
+    reference per-rank wds splitting, egom2p/data/unified_datasets.py:392);
+    split=False keeps the full list on every process (validation streams:
+    all hosts must agree on the batch count, each host then slices its own
+    rows out of the identical global batch — see
+    core/distributed.global_batch_from_replicated)."""
     import re
 
     import jax
@@ -145,15 +152,16 @@ def expand_modality_shards(path: str, mod_info, fallback_name: str):
         # modality key: match tok_<name> by path component
         mod_key = next((k for k, v in mod_info.items()
                         if v.get("path") == mp), mp or fallback_name)
-        per_mod[mod_key] = shard_split(expanded, jax.process_index(),
-                                       jax.process_count())
+        per_mod[mod_key] = (shard_split(expanded, jax.process_index(),
+                                        jax.process_count())
+                           if split else expanded)
     return per_mod
 
 
 def setup_data(args, mesh):
     """Build the train mixture loader (reference: run_training_egom2p.py:256-351)."""
     from egom2p_tpu.core.config import load_data_config, setup_sampling_mod_info
-    from egom2p_tpu.core.mesh import num_data_shards
+    from egom2p_tpu.core.mesh import local_num_data_shards
     from egom2p_tpu.data.mixture import DatasetStream, MixtureLoader
     from egom2p_tpu.data.modality_info import MODALITY_INFO
     from egom2p_tpu.data.tar_reader import (braceexpand,
@@ -162,7 +170,14 @@ def setup_data(args, mesh):
     from egom2p_tpu.masking.unified import UnifiedMasking
     import random as pyrandom
 
-    global_batch = args.batch_size * num_data_shards(mesh) * args.accum_steps
+    import jax
+
+    # PER-PROCESS batch: each host loads only the rows its own devices
+    # consume (1/P of the global batch); the train loop stitches them into
+    # a global array with global_batch_from_local.  The reference loads
+    # per-rank too (unified_datasets.py:392).
+    local_batch = (args.batch_size * local_num_data_shards(mesh)
+                   * args.accum_steps)
 
     text_tokenizer = None
     if args.text_tokenizer_path:
@@ -257,8 +272,9 @@ def setup_data(args, mesh):
             streams.append(DatasetStream(name, factory, masking))
 
     info_all = {m: MODALITY_INFO[m] for m in sorted(all_domains)}
-    loader = MixtureLoader(streams, weights, info_all, global_batch,
-                           seed=args.seed, num_workers=args.num_workers)
+    loader = MixtureLoader(streams, weights, info_all, local_batch,
+                           seed=args.seed + jax.process_index() * 7919,
+                           num_workers=args.num_workers)
     return loader, sorted(all_domains)
 
 
@@ -340,7 +356,11 @@ def setup_val_data(args, mesh):
         base = dict(train_cfgs.get(name, {}))
         base.update({k: v for k, v in dcfg.items() if v is not None})
         mod_info, sampling_weights = setup_sampling_mod_info(base, MODALITY_INFO)
-        per_mod = expand_modality_shards(base["data_path"], mod_info, name)
+        # split=False: every host reads the SAME full val stream (global
+        # batch size) so all hosts agree on the batch count; each slices
+        # its local rows at assembly time (global_batch_from_replicated).
+        per_mod = expand_modality_shards(base["data_path"], mod_info, name,
+                                         split=False)
 
         def make_factory(per_mod=per_mod, mod_info=mod_info,
                          sw=sampling_weights, fixed=False, name=name):
@@ -371,6 +391,11 @@ def main(args):
     from egom2p_tpu.core.config import setup_run_name
     setup_run_name(args)
     import jax
+    from egom2p_tpu.core.distributed import init_distributed_mode
+    # multi-host rendezvous (env-driven: COORDINATOR_ADDRESS /
+    # EGOM2P_NUM_PROCESSES / EGOM2P_PROCESS_ID; no-op single-host) — the
+    # reference's init_distributed_mode (egom2p/utils/dist.py:78-100)
+    dist = init_distributed_mode()
     from egom2p_tpu.core.cache import enable_persistent_cache
     from egom2p_tpu.core.checkpoint import (auto_load_model, save_checkpoint)
     from egom2p_tpu.core.logging import JsonlLogger, MetricLogger, WandbLogger
@@ -397,8 +422,11 @@ def main(args):
         mesh = make_mesh()
     world = num_data_shards(mesh)
     global_batch = args.batch_size * world * args.accum_steps
+    from egom2p_tpu.core.mesh import local_num_data_shards
+    local_batch = args.batch_size * local_num_data_shards(mesh) * args.accum_steps
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
-          f"global batch {global_batch}")
+          f"global batch {global_batch}, per-process loader batch "
+          f"{local_batch} ({dist['process_count']} processes)")
 
     loader, all_domains = setup_data(args, mesh)
     val_factories, fixed_factories = setup_val_data(args, mesh)
@@ -441,8 +469,11 @@ def main(args):
                          use_act_checkpoint=bool(args.use_act_checkpoint),
                          remat_policy=args.remat_policy)
 
+    from egom2p_tpu.core.distributed import (global_batch_from_local,
+                                             global_batch_from_replicated)
     loader_it = iter(loader)
-    first_batch = next(loader_it)
+    first_batch = next(loader_it)  # PER-PROCESS rows (1/P of global)
+    first_gbatch = global_batch_from_local(mesh, first_batch)
     md0 = {m: {k: np.asarray(v) for k, v in d.items()}
            for m, d in first_batch.items()}
     params = jax.jit(lambda k: model.init(
@@ -474,11 +505,30 @@ def main(args):
             start_epoch = int(np.asarray(state.step)) // niter_per_ep
             print(f"resumed from {path} at epoch {start_epoch}")
 
+    if jax.process_count() > 1:
+        # place the host-built (or restored) state onto the global mesh:
+        # numpy leaves are valid multi-process jit inputs (treated as
+        # replicated host values) — committed process-local arrays are not
+        from egom2p_tpu.train.egom2p_train import state_shardings
+        st_sh = state_shardings(mesh, state, fsdp=args.fsdp,
+                                tp=args.tensor_parallel > 1)
+        state = jax.jit(lambda s: s, out_shardings=st_sh)(
+            jax.tree_util.tree_map(np.asarray, state))
+
     step_fn = make_train_step(model, optimizer, args.num_input_tokens,
                               args.num_target_tokens, args.loss_type,
                               accum_steps=args.accum_steps)
-    jstep = jit_train_step(mesh, step_fn, state, first_batch,
+    jstep = jit_train_step(mesh, step_fn, state, first_gbatch,
                            fsdp=args.fsdp, tp=args.tensor_parallel > 1)
+    if jax.process_count() > 1:
+        # AOT-compile (no cross-process comms), then host-rendezvous, so
+        # every process enters the first collective together — the backend
+        # collective-context bootstrap won't tolerate a cold-compile-vs-
+        # cache-hit skew between hosts (Gloo gives peers ~30s)
+        from egom2p_tpu.core.distributed import barrier
+        jstep = jstep.lower(state, first_gbatch,
+                            jax.random.PRNGKey(0)).compile()
+        barrier("train_step_compiled")
 
     jsonl = JsonlLogger(args.output_dir)
     wandb_logger = WandbLogger(args) if args.log_wandb else None
@@ -490,18 +540,19 @@ def main(args):
 
     tokens_seen = int(np.asarray(state.step)) * tokens_per_sample * global_batch
     eval_steps = None
-    batch = first_batch
+    raw_batch, gbatch = first_batch, first_gbatch
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger(print_freq=args.print_freq)
-        # `batch` carries over from the previous epoch's prefetch overlap —
+        # `gbatch` carries over from the previous epoch's prefetch overlap —
         # fetching a fresh one here would silently drop that batch
         for it, _ in logger.log_every(range(niter_per_ep),
                                       header=f"Epoch [{epoch}]",
                                       total=niter_per_ep):
             key, sub = jax.random.split(key)
-            state, metrics = jstep(state, batch, sub)
-            prev_batch = batch
-            batch = next(loader_it)  # overlap host loading with device step
+            state, metrics = jstep(state, gbatch, sub)
+            prev_batch = raw_batch
+            raw_batch = next(loader_it)  # overlap host load with device step
+            gbatch = global_batch_from_local(mesh, raw_batch)
             loss_val = float(metrics["loss"])
             if not np.isfinite(loss_val):
                 # dump the offending batch and abort
@@ -559,6 +610,10 @@ def main(args):
                         eb = next(it)
                     except StopIteration:
                         break
+                    # val streams are read un-split (identical on every
+                    # host, global batch size) so hosts agree on the batch
+                    # count; slice + assemble this host's rows
+                    eb = global_batch_from_replicated(mesh, eb)
                     em = {k: float(v) for k, v in step(state.params,
                                                        eb).items()}
                     accum = em if accum is None else {
