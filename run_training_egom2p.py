@@ -122,6 +122,12 @@ def get_args(argv=None):
     p.add_argument("--wandb_entity", default=None)
     p.add_argument("--wandb_run_name", default="auto")
     p.add_argument("--print_freq", type=int, default=10)
+    # S3 checkpoint sync (reference: checkpoint.py:113-120 + s3_utils.py):
+    # uploads each saved checkpoint-{tag}/ and auto-downloads the latest on
+    # resume when no local checkpoint exists.  Needs boto3 + credentials.
+    p.add_argument("--s3_save_dir", default=None,
+                   help="s3://bucket/prefix to mirror checkpoints into")
+    p.add_argument("--s3_endpoint", default=None)
     # unused-but-accepted reference keys (config compatibility)
     p.add_argument("--s3_data_endpoint", default=None)
     return parse_args_with_config(p, argv)
@@ -498,6 +504,17 @@ def main(args):
     state = init_train_state(params, optimizer)
 
     start_epoch = 0
+    if args.auto_resume and args.s3_save_dir:
+        # fresh machine, checkpoints only in the bucket: pull the latest
+        from egom2p_tpu.core.s3_sync import maybe_download_for_resume
+        from egom2p_tpu.core.distributed import barrier, is_main_process
+        if is_main_process():
+            fetched = maybe_download_for_resume(
+                args.output_dir, args.s3_save_dir,
+                endpoint_url=args.s3_endpoint)
+            if fetched:
+                print(f"downloaded {fetched} from {args.s3_save_dir}")
+        barrier("s3_resume_download")  # non-main hosts wait for the files
     if args.auto_resume:
         restored, path = auto_load_model(args.output_dir, state)
         if restored is not None:
@@ -586,6 +603,14 @@ def main(args):
             path = save_checkpoint(args.output_dir, tag, state,
                                    blocking=blocking)
             print(f"saved{'' if blocking else ' (async)'} {path}")
+            if args.s3_save_dir:
+                from egom2p_tpu.core.distributed import is_main_process
+                from egom2p_tpu.core.s3_sync import upload_after_save
+                if is_main_process():
+                    # async saves upload on a daemon thread after the orbax
+                    # write commits; the loop keeps stepping
+                    upload_after_save(path, args.s3_save_dir, blocking,
+                                      endpoint_url=args.s3_endpoint)
         if args.eval_freq and (epoch + 1) % args.eval_freq == 0 and (
                 val_factories or fixed_factories):
             from egom2p_tpu.core.distributed import all_reduce_metrics
@@ -651,6 +676,9 @@ def main(args):
                     wandb_logger.log(stats, step=int(np.asarray(state.step)))
     from egom2p_tpu.core.checkpoint import wait_for_saves
     wait_for_saves()  # join any in-flight async periodic save before exit
+    if args.s3_save_dir:
+        from egom2p_tpu.core.s3_sync import wait_for_uploads
+        wait_for_uploads()
     if wandb_logger:
         wandb_logger.finish()
     return state

@@ -17,7 +17,16 @@ window clip through BOTH wrappers:
 plus decode-path tolerance at full width and the `legacy_mode=True`
 up/down-ordering branch (reference: cosmos_tokenizer/modules/layers3d.py:992-1008)
 that previously had zero coverage.
-"""
+
+GOLDEN DISK CACHE (round-4 VERDICT weak item 8 — the full-config torch
+forwards pushed `pytest -m slow` cost way up): the torch side is fully
+deterministic (manual_seed(0) weights, seeded inputs), so its outputs —
+converted jax params + reference tokens/recons — are cached under
+tests/_cache/ keyed by (torch version, config, seeds).  Warm runs never
+build or run the torch models; delete the cache dir to re-derive from the
+live reference."""
+import hashlib
+import os
 import sys
 
 import numpy as np
@@ -45,38 +54,146 @@ FULL_KWARGS = dict(
     quantizer="FSQ", embedding_dim=6, levels=[8, 8, 8, 5, 5, 5],
     encoder="FACTORIZED", decoder="FACTORIZED", name="DV")
 
+LEGACY_KWARGS = dict(FULL_KWARGS, channels=16, channels_mult=[1, 2, 2],
+                     z_channels=8, legacy_mode=True)
 
-def _make_pair(tkwargs, jcfg_kwargs):
-    """Random-init the reference torch DV net, convert weights to JAX."""
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_cache")
+
+
+def _cache_path(tag: str, tkwargs) -> str:
+    key = hashlib.md5(
+        f"{torch.__version__}|{sorted(tkwargs.items())!r}|v1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(_CACHE_DIR, f"cosmos_full_{tag}_{key}.npz")
+
+
+def _flatten_params(params):
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        flat[f"param::{key}"] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(npz):
+    tree = {}
+    for k in npz.files:
+        if not k.startswith("param::"):
+            continue
+        parts = k[len("param::"):].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = npz[k]
+    return tree
+
+
+def _jax_model(jcfg_kwargs):
+    from egom2p_tpu.tokenizers.cosmos.network import (
+        CausalDiscreteVideoTokenizer as JaxDV, DiscreteVideoConfig)
+    cfg = DiscreteVideoConfig(**jcfg_kwargs)
+    return JaxDV(cfg), cfg
+
+
+def _derive_goldens(tag, tkwargs, jcfg_kwargs, make_goldens):
+    """Load (params, goldens) from the disk cache, else build the torch
+    model at `tkwargs`, convert weights, run `make_goldens(tmodel)` for the
+    reference outputs, and cache everything."""
+    path = _cache_path(tag, tkwargs)
+    jmodel, cfg = _jax_model(jcfg_kwargs)
+    if os.path.exists(path):
+        npz = np.load(path)
+        goldens = {k[len("gold::"):]: npz[k] for k in npz.files
+                   if k.startswith("gold::")}
+        params = jax.tree_util.tree_map(jnp.asarray, _unflatten_params(npz))
+        return jmodel, cfg, params, goldens
+
     from cosmos_tokenizer.networks.discrete_video import (
         CausalDiscreteVideoTokenizer as TorchDV)
     from egom2p_tpu.compat.torch_convert import convert_cosmos_state_dict
-    from egom2p_tpu.tokenizers.cosmos.network import (
-        CausalDiscreteVideoTokenizer as JaxDV, DiscreteVideoConfig)
 
     torch.manual_seed(0)
     tmodel = TorchDV(**tkwargs).eval()
     tmodel.quantizer.dtype = torch.float32  # CPU comparison in fp32
 
-    cfg = DiscreteVideoConfig(**jcfg_kwargs)
-    jmodel = JaxDV(cfg)
     tc, sc = cfg.temporal_compression, cfg.spatial_compression
     x0 = jnp.zeros((1, 1 + tc * 2, sc * 4, sc * 4, 3), jnp.float32)
     shapes = jax.eval_shape(lambda k: jmodel.init(k, x0), jax.random.PRNGKey(0))
     params = convert_cosmos_state_dict(tmodel.state_dict(), shapes)
+
+    goldens = make_goldens(tmodel)
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    np.savez_compressed(
+        path, **_flatten_params(params),
+        **{f"gold::{k}": v for k, v in goldens.items()})
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    return tmodel, jmodel, cfg, params
+    return jmodel, cfg, params, goldens
 
 
 @pytest.fixture(scope="module")
 def full_pair():
-    return _make_pair(FULL_KWARGS, dict())  # DiscreteVideoConfig defaults
-    # == the DV4x8x8 published config (network.py:41-66)
+    def make_goldens(tmodel):
+        from cosmos_tokenizer.video_lib import (
+            CausalVideoTokenizer as RefWrapper)
+        # reference wrapper with the live network injected in place of a
+        # .jit checkpoint (no published weights exist in this env)
+        ref = RefWrapper(device="cpu", dtype="float32")
+        ref._enc_model = tmodel.encode
+        video = _window_test_video()
+        t_tokens = np.asarray(
+            ref.forward(video.astype(np.float32), temporal_window=17))
+        with torch.no_grad():
+            t_dec = tmodel.decode_code(
+                torch.from_numpy(_decode_test_indices()).long())
+        return {"window_tokens": t_tokens,
+                "decode_out": t_dec.float().numpy().transpose(0, 2, 3, 4, 1)}
+
+    return _derive_goldens("dv4x8x8", FULL_KWARGS, dict(), make_goldens)
+
+
+@pytest.fixture(scope="module")
+def legacy_pair():
+    def make_goldens(tmodel):
+        x = _legacy_test_video()
+        with torch.no_grad():
+            t_idx, t_codes, _ = tmodel.encode(
+                torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+            t_out = tmodel.decode_code(
+                torch.from_numpy(_legacy_decode_indices()).long())
+        return {"enc_idx": t_idx.numpy(),
+                "enc_codes": t_codes.float().numpy().transpose(0, 2, 3, 4, 1),
+                "decode_out": t_out.float().numpy().transpose(0, 2, 3, 4, 1)}
+
+    return _derive_goldens(
+        "legacy", LEGACY_KWARGS,
+        dict(channels=16, channels_mult=(1, 2, 2), z_channels=8,
+             legacy_mode=True), make_goldens)
+
+
+def _window_test_video():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, size=(1, 20, 256, 256, 3), dtype=np.uint8)
+
+
+def _decode_test_indices():
+    rng = np.random.default_rng(1)
+    return rng.integers(0, 64000, size=(1, 5, 32, 32)).astype(np.int32)
+
+
+def _legacy_test_video():
+    rng = np.random.default_rng(3)
+    return rng.uniform(-1, 1, size=(1, 9, 64, 64, 3)).astype(np.float32)
+
+
+def _legacy_decode_indices():
+    rng = np.random.default_rng(4)
+    return rng.integers(0, 64000, size=(1, 3, 8, 8)).astype(np.int32)
 
 
 def test_full_config_matches_published(full_pair):
     """The repo's DV4x8x8_CONFIG defaults must equal the published config."""
-    _, _, cfg, _ = full_pair
+    _, cfg, _, _ = full_pair
     assert cfg.channels == 128
     assert tuple(cfg.channels_mult) == (2, 4, 4)
     assert cfg.z_channels == 16
@@ -89,48 +206,33 @@ def test_full_config_sliding_window_token_parity(full_pair):
     """A 20-frame 256x256 uint8 clip (one full 17-frame window + one short
     padded window) through BOTH sliding-window wrappers must produce >99%
     identical token indices (reference: video_lib.py:118-152)."""
-    from cosmos_tokenizer.video_lib import CausalVideoTokenizer as RefWrapper
     from egom2p_tpu.tokenizers.cosmos.video_api import CausalVideoTokenizer
 
-    tmodel, jmodel, cfg, params = full_pair
-
-    # reference wrapper with the live network injected in place of a .jit
-    # checkpoint (no published weights exist in this env)
-    ref = RefWrapper(device="cpu", dtype="float32")
-    ref._enc_model = tmodel.encode
-
+    jmodel, cfg, params, goldens = full_pair
     mine = CausalVideoTokenizer(params, cfg, compute_dtype=jnp.float32)
+    j_tokens = mine.forward(_window_test_video(), temporal_window=17)
 
-    rng = np.random.default_rng(0)
-    video = rng.integers(0, 256, size=(1, 20, 256, 256, 3), dtype=np.uint8)
-
-    t_tokens = ref.forward(video.astype(np.float32), temporal_window=17)
-    j_tokens = mine.forward(video, temporal_window=17)
-
+    t_tokens = goldens["window_tokens"]
     assert j_tokens.shape == tuple(t_tokens.shape), (
         j_tokens.shape, t_tokens.shape)
     # 17-frame window -> 5 latent frames; 3-frame window padded to 9 -> 3
     assert j_tokens.shape == (1, 8, 32, 32)
-    match = (j_tokens == np.asarray(t_tokens)).mean()
+    match = (j_tokens == t_tokens).mean()
     assert match > 0.99, f"token match rate {match}"
 
 
 def test_full_config_decode_parity(full_pair):
     """decode_code at full width: 5x32x32 token grid -> 17x256x256 video,
     both implementations within fp32 conv tolerance."""
-    tmodel, jmodel, cfg, params = full_pair
-    rng = np.random.default_rng(1)
-    idx = rng.integers(0, 64000, size=(1, 5, 32, 32)).astype(np.int32)
-
-    with torch.no_grad():
-        t_out = tmodel.decode_code(torch.from_numpy(idx).long())
+    jmodel, cfg, params, goldens = full_pair
     from egom2p_tpu.tokenizers.cosmos.network import (
         CausalDiscreteVideoTokenizer as JaxDV)
-    j_out = jmodel.apply(params, jnp.asarray(idx), method=JaxDV.decode_code)
+    j_out = jmodel.apply(params, jnp.asarray(_decode_test_indices()),
+                         method=JaxDV.decode_code)
 
-    t_out = t_out.float().numpy().transpose(0, 2, 3, 4, 1)
+    t_out = goldens["decode_out"]
     j_out = np.asarray(j_out, dtype=np.float32)
-    assert j_out.shape == t_out.shape == (1, 17, 256, 256, 3)
+    assert j_out.shape == tuple(t_out.shape) == (1, 17, 256, 256, 3)
     # full-width decoder stacks ~30 convs; allow a slightly looser absolute
     # tolerance than the toy test's 2e-3
     assert np.abs(j_out - t_out).max() < 5e-3, np.abs(j_out - t_out).max()
@@ -153,45 +255,28 @@ def test_pad_video_batch_matches_reference():
         np.testing.assert_array_equal(jp, rp)
 
 
-@pytest.fixture(scope="module")
-def legacy_pair():
-    kwargs = dict(FULL_KWARGS, channels=16, channels_mult=[1, 2, 2],
-                  z_channels=8, legacy_mode=True)
-    return _make_pair(kwargs, dict(channels=16, channels_mult=(1, 2, 2),
-                                   z_channels=8, legacy_mode=True))
-
-
 def test_legacy_mode_encode_parity(legacy_pair):
     """legacy_mode=True flips the hybrid up/down-sampling order
     (reference: layers3d.py:992-1008); encode must stay token-parity."""
-    tmodel, jmodel, cfg, params = legacy_pair
-    rng = np.random.default_rng(3)
-    x = rng.uniform(-1, 1, size=(1, 9, 64, 64, 3)).astype(np.float32)
-
-    with torch.no_grad():
-        t_idx, t_codes, _ = tmodel.encode(
-            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    jmodel, cfg, params, goldens = legacy_pair
     from egom2p_tpu.tokenizers.cosmos.network import (
         CausalDiscreteVideoTokenizer as JaxDV)
+    x = _legacy_test_video()
     j_idx, j_codes = jmodel.apply(params, jnp.asarray(x), method=JaxDV.encode)
 
-    t_codes = t_codes.float().numpy().transpose(0, 2, 3, 4, 1)
-    match = (np.asarray(j_idx) == t_idx.numpy()).mean()
+    match = (np.asarray(j_idx) == goldens["enc_idx"]).mean()
     assert match > 0.99, f"legacy token match rate {match}"
-    assert np.abs(np.asarray(j_codes, np.float32) - t_codes).max() < 1e-3
+    assert np.abs(np.asarray(j_codes, np.float32)
+                  - goldens["enc_codes"]).max() < 1e-3
 
 
 def test_legacy_mode_decode_parity(legacy_pair):
-    tmodel, jmodel, cfg, params = legacy_pair
-    rng = np.random.default_rng(4)
-    idx = rng.integers(0, 64000, size=(1, 3, 8, 8)).astype(np.int32)
-
-    with torch.no_grad():
-        t_out = tmodel.decode_code(torch.from_numpy(idx).long())
+    jmodel, cfg, params, goldens = legacy_pair
     from egom2p_tpu.tokenizers.cosmos.network import (
         CausalDiscreteVideoTokenizer as JaxDV)
-    j_out = jmodel.apply(params, jnp.asarray(idx), method=JaxDV.decode_code)
-    t_out = t_out.float().numpy().transpose(0, 2, 3, 4, 1)
+    j_out = jmodel.apply(params, jnp.asarray(_legacy_decode_indices()),
+                         method=JaxDV.decode_code)
+    t_out = goldens["decode_out"]
     j_out = np.asarray(j_out, dtype=np.float32)
-    assert j_out.shape == t_out.shape
+    assert j_out.shape == tuple(t_out.shape)
     assert np.abs(j_out - t_out).max() < 2e-3, np.abs(j_out - t_out).max()

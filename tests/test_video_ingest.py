@@ -65,3 +65,14 @@ def test_max_frames(tmp_path):
 def test_missing_file_raises():
     with pytest.raises(RuntimeError):
         read_video("/nonexistent/clip.mp4")
+
+
+def test_read_videos_pooled_matches_serial():
+    """Thread-pooled decode returns the same frames in input order."""
+    from egom2p_tpu.data.video_ingest import read_video, read_videos_pooled
+    path = "/root/reference/example_data/rgb2dep_h2o.mp4"
+    serial = read_video(path, out_size=64)
+    pooled = read_videos_pooled([path] * 3, out_size=64, workers=3)
+    assert len(pooled) == 3
+    for arr in pooled:
+        np.testing.assert_array_equal(arr, serial)
