@@ -111,11 +111,27 @@ def main():
                                seed=seed)
         return out["tok_depth"]["tensor"]
 
-    # warmup: pays all XLA compiles
+    # model/tokenizer construction cost vs compile cost, split (round-4
+    # VERDICT item 5): load_s is imports + weight init; warmup pays the XLA
+    # compiles (near-zero when the persistent cache is warm).
+    load_s = time.time() - t_setup
+    cache_dir = jax.config.jax_compilation_cache_dir or ""
+
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir)) if cache_dir else -1
+        except OSError:
+            return -1
+    cache_before = _cache_entries()
+    t_warm = time.time()
     one_batch(0, jnp.asarray(video))
+    warmup_s = time.time() - t_warm
+    compiled_new = (_cache_entries() - cache_before
+                    if cache_before >= 0 else None)
     setup_s = time.time() - t_setup
 
-    n = int(os.environ.get("BENCH_BATCHES", "3"))
+    n = int(os.environ.get("BENCH_BATCHES", "10"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     stage = []
     # Videos are uploaded ahead of the timed region.  Rationale: this dev
     # environment reaches the chip through an RPC tunnel whose H2D tops out
@@ -127,13 +143,24 @@ def main():
     _ = [float(u[0, 0, 0, 0, 0]) for u in uploads]  # force completion
     up_s = time.time() - t_up
     h2d_mbps = n * video.nbytes / 1e6 / up_s
-    t0 = time.time()
-    for i in range(n):
-        out = one_batch(i + 1, uploads[i])
-    _ = int(out[0, 0])  # force final batch completion (block_until_ready
-    # is a no-op through the axon relay; a scalar read is the reliable sync)
-    dt = time.time() - t0
-    clips_per_sec = n * B / dt
+    # `repeats` independent passes of `n` batches, ONE sync per pass (per-
+    # batch syncs would add a relay RTT to every batch): the headline is the
+    # mean and the spread makes round-over-round deltas interpretable
+    # (round-4 VERDICT item 5: 3 batches ~ 4.5s of device time was noise-
+    # dominated).
+    seed = 0
+    samples = []
+    for rep in range(repeats):
+        t0 = time.time()
+        for i in range(n):
+            seed += 1
+            out = one_batch(seed, uploads[i])
+        _ = int(out[0, 0])  # force completion (block_until_ready is a no-op
+        # through the axon relay; a scalar read is the reliable sync)
+        samples.append(n * B / (time.time() - t0))
+    clips_per_sec = float(np.mean(samples))
+    clips_std = float(np.std(samples))
+    dt = n * B / clips_per_sec  # mean seconds per n-batch pass
 
     # Per-stage attribution, loop-timed: each stage is dispatched K times
     # back-to-back with ONE final sync, so the per-batch figure is device
@@ -179,15 +206,22 @@ def main():
     stage.append((tok_stage_s, gen_stage_s))
 
     # Host ingest throughput (SURVEY §7 "hard part"): the native libav
-    # decoder's mp4 -> (16,256,256,3) clip rate, measured alone.  On a real
-    # v5e host this pipeline runs in worker threads and overlaps device
-    # compute (see tokenize_videos.py --prefetch).
+    # decoder's mp4 -> (16,256,256,3) clip rate, single-thread AND thread-
+    # pooled (round-4 VERDICT item 6: a v5e-8 host must feed 8 chips).
+    # ctypes releases the GIL per decode, so the pool scales with host
+    # cores; this box's ceiling is visible in ingest_pool.cpu_count.
+    from egom2p_tpu.data.video_ingest import read_videos_pooled
+    mp4 = "/root/reference/example_data/rgb2dep_h2o.mp4"
     t_in = time.time()
     n_ing = 8
     for _ in range(n_ing):
-        read_video("/root/reference/example_data/rgb2dep_h2o.mp4",
-                   out_size=256)
+        read_video(mp4, out_size=256)
     ingest_cps = n_ing / (time.time() - t_in)
+    pool_workers = os.cpu_count() or 1
+    t_in = time.time()
+    n_pool = max(8, 2 * pool_workers)
+    read_videos_pooled([mp4] * n_pool, out_size=256, workers=pool_workers)
+    ingest_pool_cps = n_pool / (time.time() - t_in)
 
     # Un-prestaged end-to-end variant (serial): upload -> compute -> upload,
     # quantifying what the headline's h2d_prestaged exclusion hides.
@@ -255,6 +289,9 @@ def main():
         "unit": "clips/s/chip",
         "vs_baseline": (round(clips_per_sec / baseline, 3)
                         if baseline else None),
+        "stddev": round(clips_std, 4),
+        "n": {"batches_per_repeat": n, "repeats": repeats,
+              "clips_per_batch": B},
         "batch": B,
         "stage_ms_per_batch": {"tokenize": round(tok_ms, 1),
                                "generate_roar3_cfg": round(gen_ms, 1)},
@@ -263,11 +300,17 @@ def main():
         "h2d_prestaged": True,
         "relay_h2d_mbps": round(h2d_mbps, 1),
         "ingest_clips_per_s": round(ingest_cps, 2),
+        "ingest_pool": {"workers": pool_workers, "cpu_count": pool_workers,
+                        "aggregate_clips_per_s": round(ingest_pool_cps, 2)},
         "e2e_unprestaged_clips_per_s": round(e2e_cps, 3),
         "e2e_overlapped_clips_per_s": round(e2e_overlapped_cps, 3),
+        "setup_s": {"model_load": round(load_s, 1),
+                    "warmup_compile": round(warmup_s, 1),
+                    "new_cache_entries": compiled_new},
     }
     print(json.dumps(result))
-    print(f"# setup+compile {setup_s:.1f}s; {n} batches x {B} clips in {dt:.2f}s",
+    print(f"# setup+compile {setup_s:.1f}s; {repeats} x {n} batches x {B} "
+          f"clips, mean pass {dt:.2f}s, stddev {clips_std:.3f} clips/s",
           file=sys.stderr)
 
 

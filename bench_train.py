@@ -10,7 +10,10 @@ XLA-fused gradient psum (reference anchor: 256xH100 DDP,
 README_TRAINING.md:45).
 
 Prints ONE JSON line.  Not the driver's headline bench (that is bench.py);
-run manually: python bench_train.py [BATCH=8 STEPS=5 REMAT=0 ACCUM=1]
+run manually: python bench_train.py [BATCH=64 STEPS=5 REMAT=0 ACCUM=8]
+Zero-flag defaults are the SHIPPED sweet spot (B=64 as 8x8 accum, no
+remat, 76.0k tok/s/chip measured round 4); BATCH=8 ACCUM=1 benches the
+single-micro-batch step.
 
 REMAT=1 enables full per-block activation checkpointing, REMAT=dots the
 selective dots-saveable policy, REMAT=0 (default: B=8 fits HBM) none;
@@ -58,11 +61,14 @@ def main():
     from tests.test_model import make_mod_dict
 
     t_setup = time.time()
-    B = int(os.environ.get("BATCH", "8"))
+    # Zero-flag defaults = the measured single-chip sweet spot (round-4
+    # sweep, docs/TRAINING.md): batch 64 as 8 micro-batches x 8 accum
+    # steps, no remat -> 76.0k tok/s / 41.7% MFU on a v5e chip.
+    B = int(os.environ.get("BATCH", "64"))
     steps = int(os.environ.get("STEPS", "5"))
     # REMAT=0 none | 1 full per-block | dots selective (save matmul outputs)
     remat = os.environ.get("REMAT", "0")
-    accum = int(os.environ.get("ACCUM", "1"))
+    accum = int(os.environ.get("ACCUM", "8"))
     MODS = ("tok_rgb", "tok_depth", "tok_cam", "tok_gaze")
     # with bf16 compute the B=8 step fits HBM without remat and runs ~40%
     # faster (69.9k vs 46.0k tok/s on-chip, round-4 flash64 blocks +

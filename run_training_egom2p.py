@@ -48,10 +48,14 @@ def get_args(argv=None):
                         "DP-only); composes with --fsdp (TP x ZeRO). "
                         "TP>1 runs attention on the XLA path (the Pallas "
                         "flash custom call cannot be GSPMD-partitioned)")
-    p.add_argument("--use_act_checkpoint", type=str2bool, default=True,
-                   help="rematerialize blocks in backward; with bf16 compute "
-                        "batch 8 fits a 16GB chip without it (+14% step "
-                        "throughput) — keep on for larger batches/budgets")
+    p.add_argument("--use_act_checkpoint", type=str2bool, default=False,
+                   help="rematerialize blocks in backward.  OFF by default: "
+                        "with bf16 compute the shipped batch 8 fits a 16GB "
+                        "chip without it and runs +52% faster (46.0k -> "
+                        "69.9k tok/s measured, docs/TRAINING.md); turn on "
+                        "only for micro-batches that exceed HBM — for "
+                        "bigger GLOBAL batches prefer --accum_steps, which "
+                        "keeps activations at the micro-batch level")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],
                    help="remat granularity: full recomputes whole blocks, "
