@@ -23,12 +23,16 @@ def init_distributed_mode(coordinator_address: Optional[str] = None,
     Env-variable driven on TPU pods (the runtime injects coordinates); the
     explicit arguments cover manual rendezvous like the reference's env://
     init (dist.py:85-98)."""
-    should_init = (
+    explicit = (
         coordinator_address is not None
         or os.environ.get("COORDINATOR_ADDRESS")
         or int(os.environ.get("EGOM2P_NUM_PROCESSES", "1")) > 1
     )
-    if should_init:
+    # TPU pod VMs carry the full host list in the runtime metadata; a no-arg
+    # initialize() auto-discovers coordinator + rank there (the launcher,
+    # train_scripts/launch_tpu_pod.sh, runs one identical process per host)
+    on_pod = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("COORDINATOR_ADDRESS"),
@@ -39,6 +43,8 @@ def init_distributed_mode(coordinator_address: Optional[str] = None,
             else (int(os.environ["EGOM2P_PROCESS_ID"])
                   if "EGOM2P_PROCESS_ID" in os.environ else None),
         )
+    elif on_pod:
+        jax.distributed.initialize()
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

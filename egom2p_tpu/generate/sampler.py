@@ -143,12 +143,14 @@ def expand_to_batch(mod_dict, batch_size):
 
 
 # ------------------------------------------------------------------ sampling
-# Candidate set cap for sort-free nucleus sampling.  256 covers any realistic
+# Candidate set cap for sort-free nucleus sampling.  128 covers any realistic
 # top-p nucleus (a trained model's 0.8-nucleus at temp<=1 is a handful of
-# tokens; even a uniform-over-256 tail carries p<0.4% error mass) and is 4x
-# cheaper than 1024 on TPU: approx_max_k's aggregation sort dominates the
-# whole sampling step at 64k vocab (measured 169ms -> 55ms per 16x427 rows).
-_TOPP_TRUNC = 256
+# tokens; even a uniform-over-128 tail carries p<0.8% error mass) and
+# approx_max_k's aggregation sort is the dominant sampling cost at 64k
+# vocab: 256 -> 128 measured -1.4% on the whole ROAR chain (round 5);
+# 256 -> 1024 was 4x slower (169 -> 55 ms per 16x427 rows, round 3).
+# EGOM2P_EXACT_TOPK=1 restores the exact full-sort semantics.
+_TOPP_TRUNC = 128
 
 
 def _top_candidates(logits, K):
@@ -281,10 +283,32 @@ def chunked_head_sample(model, params, target_mod: str, y, cond_weights,
     each position's full vocab row lives in exactly one chunk.
 
     Returns (samples (B, k) int32, sampled_probs (B, k) f32).
+
+    HIDDEN-SPACE GUIDANCE MIX (round 5, default): logits are linear in the
+    decoder hidden state (logits = y @ W + b), so
+    ``l_u + sum_i w_i (l_c_i - l_u)  ==  (y_u + sum_i w_i (y_c_i - y_u)) @ W + b``
+    exactly — mixing the (GB, k, 768) hiddens BEFORE the head computes the
+    64k-vocab logits for B rows instead of G*B, halving (G=2) the head
+    matmul and the candidate top-k (measured head+sample 50 -> ~27 ms per
+    ROAR step).  Same math as the reference's logit mix (generate.py:805,
+    719-721); equality holds to the head matmul's bf16 compute precision
+    (the model's compute dtype — the same rounding class as every other
+    matmul in the net), since bf16(y_mixed) @ W rounds differently than
+    mixing bf16-rounded logits.  EGOM2P_CFG_MIX=logits restores the
+    literal post-head mix (resolved at trace time: flipping it needs a
+    fresh GenerationSampler / jit cache).
     """
+    import os
     GB, k, _ = y.shape
     G = 1 if cond_weights is None else len(cond_weights) + 1
     B = GB // G
+    if (cond_weights is not None
+            and os.environ.get("EGOM2P_CFG_MIX", "hidden") != "logits"):
+        yu = y[(G - 1) * B:]
+        mixed = yu
+        for i, w in enumerate(cond_weights):
+            mixed = mixed + w * (y[i * B:(i + 1) * B] - yu)
+        y, cond_weights, G = mixed, None, 1
     k_user, K = _candidate_count(vocab_size, temperature, top_k, top_p)
     untruncated = K >= vocab_size and not k_user and not (top_p and top_p > 0)
 

@@ -188,6 +188,19 @@ def _adaptive_block(n: int, candidates, max_waste: float) -> int:
     return candidates[-1]
 
 
+def _cover_block(n: int, max_block: int = 1024) -> int:
+    """Smallest 8-aligned q block covering n in ceil(n/max_block) grid
+    programs — i.e. keep the grid as coarse as a max_block split but shave
+    the padding to < 8 rows.  The ROAR decoder subset (k=1707) padded to
+    2048 under the 1024/512 adaptive rule: 17% of q rows were padding in
+    every decoder self/cross attention; cover blocks make that 856x2=1712
+    (0.3%).  Encoder lengths that 1024 divides exactly are unchanged.
+    EGOM2P_F64_QB=adaptive restores the old rule."""
+    blocks = -(-n // max_block)
+    per = -(-n // blocks)          # ceil rows per block
+    return min(max_block, -(-per // 8) * 8)  # ceil to a sublane multiple
+
+
 def _divisor_block(n: int, max_block: int) -> int:
     """KV block minimizing padded length, tie-broken toward larger blocks.
 
@@ -235,9 +248,10 @@ def flash64_attention(
     import os
     N, M = q.shape[1], k.shape[1]
     if not bq:
-        # q-side divisor blocks measured as a wash vs adaptive; keep the
-        # simpler adaptive rule (padding only pays for itself under ~4%)
-        bq = _adaptive_block(N, (1024, 512), 0.04)
+        if os.environ.get("EGOM2P_F64_QB", "cover") == "adaptive":
+            bq = _adaptive_block(N, (1024, 512), 0.04)
+        else:
+            bq = _cover_block(N)
     if not bk:
         bk = _divisor_block(M, int(os.environ.get("EGOM2P_F64_MAXBK",
                                                   "2560")))

@@ -74,9 +74,11 @@ def test_chunked_matches_unchunked_single_branch(tiny, temperature, top_k,
                                atol=1e-6)
 
 
-def test_chunked_matches_unchunked_cfg(tiny):
-    """CFG cond weights (s,) must reproduce lu + s*(lc - lu) bit-exactly
-    (same fp32 expression form as the reference, generate.py:805)."""
+def test_chunked_matches_unchunked_cfg(tiny, monkeypatch):
+    """With EGOM2P_CFG_MIX=logits, CFG cond weights (s,) must reproduce
+    lu + s*(lc - lu) bit-exactly (same fp32 expression form as the
+    reference, generate.py:805)."""
+    monkeypatch.setenv("EGOM2P_CFG_MIX", "logits")
     model, params, y, vocab = tiny
     scale = 2.0
     key = jax.random.PRNGKey(11)
@@ -91,6 +93,41 @@ def test_chunked_matches_unchunked_cfg(tiny):
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_chk))
     np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_chk),
                                atol=1e-6)
+
+
+def test_hidden_mix_equals_logit_mix(tiny):
+    """The round-5 default mixes guidance in HIDDEN space before the vocab
+    head; logits are linear in y, so the mixed logits must equal the
+    reference's post-head mix to fp32 rounding, and the sampled
+    distribution must match wherever the decision isn't inside the
+    rounding band."""
+    model, params, y, vocab = tiny
+    scale = 2.0
+    B = y.shape[0] // 2
+    logits = _full_logits(model, params, y)
+    lc, lu = logits[:B], logits[B:]
+    mixed_ref = np.asarray(lu + scale * (lc - lu))
+    y = np.asarray(y)
+    y_mixed = y[B:] + scale * (y[:B] - y[B:])
+    mixed_hidden = np.asarray(_full_logits(model, params,
+                                           jnp.asarray(y_mixed)))
+    # equality is at bf16-matmul precision, not fp32: the head computes in
+    # the model's bf16 compute dtype, and bf16(y_mixed) @ W rounds
+    # differently than mixing bf16-rounded logits (amplified ~|w|x by the
+    # guidance scale) — the same precision class as every other matmul in
+    # the network
+    band = 0.02 * np.abs(mixed_ref).max()
+    np.testing.assert_allclose(mixed_hidden, mixed_ref, atol=band)
+    # greedy samples agree everywhere the top-2 margin exceeds the band
+    margin = np.sort(mixed_ref, axis=-1)
+    decisive = (margin[..., -1] - margin[..., -2]) > 2 * band
+    s_hidden, _ = chunked_head_sample(model, params, "tok_gaze",
+                                      jnp.asarray(y), (scale,),
+                                      jax.random.PRNGKey(0), 0.0, 0.0, 0.0,
+                                      vocab, chunk=4)
+    s_ref = mixed_ref.argmax(axis=-1)
+    match = (np.asarray(s_hidden) == s_ref)[decisive]
+    assert match.all(), f"{(~match).sum()} decisive rows diverged"
 
 
 def test_chunked_untruncated_full_vocab(tiny):
