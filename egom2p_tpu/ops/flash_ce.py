@@ -10,13 +10,18 @@ the vocab dimension in VMEM with an online (running max) logsumexp, so
 the logits never exist in HBM at all: the forward is one pass of pure
 MXU matmuls plus a fused VPU reduction.
 
-Forward-only kernel by design: the backward has to rebuild softmax
-probabilities for dW/dy either way, and the measured XLA backward
-already sits within ~25% of its matmul bound — a Pallas backward would
-spend MORE matmuls (two recomputes, one per dy/dW pass; see the fused
-flash64 backward rejection in docs/DESIGN.md for the same trade) — so
-``jax.custom_vjp`` routes the backward through the same chunked XLA
-recompute the previous ``jax.checkpoint`` scan executed.
+The backward ships in BOTH forms.  Default: ``jax.custom_vjp`` routes
+through the chunked XLA recompute the previous ``jax.checkpoint`` scan
+executed.  ``EGOM2P_CE_PALLAS_BWD=1`` switches to the fused one-pass
+Pallas backward (``_bwd_pallas``: ONE logit recompute per tile feeding
+both contractions, probabilities never in HBM) — built as the round-5
+"attack the backward once more" candidate and measured on-chip AT PARITY
+but not ahead: B=8 full train step 451.0 ms (br=256) / 454.4 (br=512) /
+584.8 (br=1024) vs 448.2 ms chunked-XLA control, A/B/A.  XLA's epilogue
+fusion already keeps the (chunk, V) probability tile out of HBM, so the
+hand-fused kernel has no traffic left to save; the chunked form stays
+the default and the kernel remains as the measured A/B reference
+(interpret-mode grad-parity test: tests/test_flash_ce.py).
 
 Numerics match the dense reference exactly up to fp32 reduction order:
 bf16 inputs, fp32 logits, fp32 running stats (the reference computes CE
@@ -159,6 +164,93 @@ def _row_stats(y, w_mat, targets, interpret: bool = False):
     return logz[0, :R], gold[0, :R]
 
 
+def _ce_bwd_kernel(y_ref, w_ref, t_ref, wc_ref, lz_ref, dy_ref, dw_ref, *,
+                   bv: int, vocab: int, n_i: int, n_j: int):
+    """Fused one-pass backward: grid (vocab block j, row block i), i
+    fastest.  Per (j, i): recompute the (br, bv) logit tile, form
+    dl = (softmax - onehot) * w, and contract it BOTH ways.  The dW
+    output block is keyed by j only, so it stays VMEM-resident across
+    the inner i loop (fp32 accumulator, written once per j); the dy
+    block is keyed by i and revisits non-consecutively — Pallas spills
+    it to HBM between j steps (~0.5 ms of traffic at the pretraining
+    shapes, the price of single-recompute instead of the split XLA
+    scan's per-chunk p rebuild)."""
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init_dw():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    @pl.when(j == 0)
+    def _init_dy():
+        dy_ref[...] = jnp.zeros_like(dy_ref)
+
+    y = y_ref[0]                           # (br, D) bf16
+    w = w_ref[0]                           # (bv, D) bf16
+    br = y.shape[0]
+    dn = (((1,), (1,)), ((), ()))          # contract D
+    s = jax.lax.dot_general(y, w, dn, preferred_element_type=jnp.float32)
+    cols = j * bv + jax.lax.broadcasted_iota(jnp.int32, (br, bv), 1)
+    if vocab % bv:                         # padded weight rows
+        s = jnp.where(cols < vocab, s, _NEG)
+    p = jnp.exp(s - lz_ref[0].reshape(br, 1))
+    t = t_ref[0].reshape(br, 1)
+    dl = ((p - (cols == t)) * wc_ref[0].reshape(br, 1)).astype(y.dtype)
+    dy_ref[0] += jnp.dot(dl, w, preferred_element_type=jnp.float32)
+    tn = (((0,), (0,)), ((), ()))          # contract rows
+    dw_ref[0] += jax.lax.dot_general(dl, y, tn,
+                                     preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_pallas(y, w_bf, targets, wc, logz, interpret: bool = False):
+    """(dy fp32 (R, D), dW fp32 (V, D)) via the fused kernel.  wc is the
+    per-row weight ALREADY scaled by the upstream cotangent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, D = y.shape
+    V = w_bf.shape[0]
+    br = int(os.environ.get("EGOM2P_CE_BWD_BR", "0")) or 512
+    br = min(br, max(128, ((R + 127) // 128) * 128))
+    Vp, bv = _pick_bv(V)
+    Rp = ((R + br - 1) // br) * br
+    if Rp != R:
+        y = jnp.pad(y, ((0, Rp - R), (0, 0)))
+        targets = jnp.pad(targets, (0, Rp - R))
+        wc = jnp.pad(wc, (0, Rp - R))
+        logz = jnp.pad(logz, (0, Rp - R))
+    if Vp != V:
+        w_bf = jnp.pad(w_bf, ((0, Vp - V), (0, 0)))
+    n_i, n_j = Rp // br, Vp // bv
+
+    dy, dw = pl.pallas_call(
+        functools.partial(_ce_bwd_kernel, bv=bv, vocab=V, n_i=n_i, n_j=n_j),
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((1, br, D), lambda j, i: (0, i, 0)),
+            pl.BlockSpec((1, bv, D), lambda j, i: (0, j, 0)),
+            pl.BlockSpec((1, br), lambda j, i: (0, i)),
+            pl.BlockSpec((1, br), lambda j, i: (0, i)),
+            pl.BlockSpec((1, br), lambda j, i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, br, D), lambda j, i: (0, i, 0)),
+            pl.BlockSpec((1, bv, D), lambda j, i: (0, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rp, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(y[None], w_bf[None], targets[None].astype(jnp.int32),
+      wc[None].astype(jnp.float32), logz[None])
+    return dy[0, :R], dw[0, :V]
+
+
 def _bwd_chunked(y, w_bf, targets, wts, logz, g, chunk: int):
     """dy, dW for total = sum(wts * (logz - gold)), upstream cotangent g.
 
@@ -216,6 +308,15 @@ def _flash_ce_total_fwd(y, w_mat, targets_f, wts, chunk, interpret):
 
 def _flash_ce_total_bwd(chunk, interpret, res, g):
     y, w_mat, t, wts, logz = res
+    # EGOM2P_CE_PALLAS_BWD=1 routes through the fused one-pass Pallas
+    # backward (round-5 A/B candidate: one logit recompute feeding both
+    # contractions, probabilities never in HBM) instead of the chunked XLA
+    # scan; trace-time switch, cache-keyed by the surrounding jit.
+    if os.environ.get("EGOM2P_CE_PALLAS_BWD", "0") == "1":
+        dy, dw = _bwd_pallas(y, w_mat.astype(y.dtype), t,
+                             wts * g, logz, interpret)
+        return (dy.astype(y.dtype), dw.astype(w_mat.dtype),
+                jnp.zeros_like(wts), wts * 0.0)
     dy, dw = _bwd_chunked(y, w_mat.astype(y.dtype), t, wts, logz, g, chunk)
     return dy, dw.astype(w_mat.dtype), jnp.zeros_like(wts), wts * 0.0
 

@@ -144,3 +144,31 @@ def test_model_loss_routes_flash_ce(monkeypatch):
     flat_r, _ = flatten_util.ravel_pytree(g_ref)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
                                rtol=0, atol=3e-2)
+
+
+def test_pallas_bwd_matches_chunked(monkeypatch):
+    """The fused one-pass Pallas backward (EGOM2P_CE_PALLAS_BWD=1) must
+    reproduce the chunked-XLA backward's dy/dW (interpret mode on CPU),
+    including padded-vocab masking and zero-weight rows."""
+    import egom2p_tpu.ops.flash_ce as fce
+
+    rng = np.random.default_rng(5)
+    R, D, V = 200, 128, 5000  # V % every bv candidate != 0 -> padded rows
+    y = jnp.asarray(rng.normal(size=(R, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(V, D)) * 0.05, jnp.float32)
+    t = jnp.asarray(rng.integers(0, V, size=(R,)), jnp.int32)
+    wts = jnp.asarray((rng.random(R) > 0.3).astype(np.float32))
+
+    def total(y, w):
+        return fce.flash_ce_total(y, w, t, wts, chunk=64, interpret=True)
+
+    monkeypatch.setenv("EGOM2P_CE_PALLAS_BWD", "0")
+    l_ref, (dy_ref, dw_ref) = jax.value_and_grad(total, argnums=(0, 1))(y, w)
+    monkeypatch.setenv("EGOM2P_CE_PALLAS_BWD", "1")
+    l_pl, (dy_pl, dw_pl) = jax.value_and_grad(total, argnums=(0, 1))(y, w)
+
+    np.testing.assert_allclose(float(l_pl), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dy_pl), np.asarray(dy_ref),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw_pl), np.asarray(dw_ref),
+                               atol=2e-3, rtol=1e-3)
